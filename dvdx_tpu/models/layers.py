@@ -1,0 +1,268 @@
+"""Shared Flax building blocks for the video-diffusion model family.
+
+TPU-first conventions (vs the reference's torch/diffusers NCHW stack):
+* channel-LAST everywhere — (B, F, H, W, C); XLA's TPU conv/matmul tiling wants
+  the contracting/feature dim innermost (lane dim = 128).
+* attention via ops.attention (single dispatch point; pallas flash kernel for
+  long sequences).
+* temporal mixing layers are residual with zero-initialised output projections
+  so a freshly-initialised 3D model equals its 2D spatial slice — same trick
+  ModelScope/Zeroscope training uses and it keeps golden tests local.
+
+Reference architecture being matched capability-for-capability:
+diffusers UNet3DConditionModel as loaded at
+`/root/reference/Distribution/strategies/fsdp.py:55-62` and
+`/root/reference/InferNet/neurons/miner.py:83-87`.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import multi_head_attention
+
+
+def timestep_embedding(t: jax.Array, dim: int, max_period: float = 10000.0) -> jax.Array:
+    """Sinusoidal timestep embedding, f32. t: (B,) int/float -> (B, dim)."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class TimeEmbedding(nn.Module):
+    """MLP over the sinusoidal embedding -> (B, time_embed_dim)."""
+
+    time_embed_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, sinusoid: jax.Array) -> jax.Array:
+        h = nn.Dense(self.time_embed_dim, dtype=self.dtype, name="fc1")(sinusoid.astype(self.dtype))
+        h = nn.silu(h)
+        h = nn.Dense(self.time_embed_dim, dtype=self.dtype, name="fc2")(h)
+        return h
+
+
+class ResnetBlock2D(nn.Module):
+    """Spatial resnet block applied per-frame on (N, H, W, C)."""
+
+    out_channels: int
+    groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, temb: jax.Array) -> jax.Array:
+        # x: (N, H, W, C); temb: (N, D)
+        residual = x
+        h = nn.GroupNorm(num_groups=self.groups, dtype=self.dtype, name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding="SAME", dtype=self.dtype, name="conv1")(h)
+        t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
+        h = h + t[:, None, None, :]
+        h = nn.GroupNorm(num_groups=self.groups, dtype=self.dtype, name="norm2")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding="SAME", dtype=self.dtype, name="conv2")(h)
+        if residual.shape[-1] != self.out_channels:
+            residual = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(residual)
+        return residual + h
+
+
+class TemporalConvBlock(nn.Module):
+    """Residual stack of (3,1,1) 3D convs over (B, F, H, W, C); last conv
+    zero-init so the block is identity at init."""
+
+    channels: int
+    num_layers: int = 2
+    groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        h = x
+        for i in range(self.num_layers):
+            h = nn.GroupNorm(num_groups=self.groups, dtype=self.dtype, name=f"norm{i}")(h)
+            h = nn.silu(h)
+            last = i == self.num_layers - 1
+            h = nn.Conv(
+                self.channels,
+                (3, 1, 1),
+                padding=((1, 1), (0, 0), (0, 0)),
+                dtype=self.dtype,
+                kernel_init=nn.initializers.zeros if last else nn.initializers.lecun_normal(),
+                name=f"conv{i}_zero" if last else f"conv{i}",
+            )(h)
+        return x + h
+
+
+class GEGLUFeedForward(nn.Module):
+    dim: int
+    mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        inner = self.dim * self.mult
+        hg = nn.Dense(inner * 2, dtype=self.dtype, name="proj_in")(x)
+        h, gate = jnp.split(hg, 2, axis=-1)
+        h = h * nn.gelu(gate)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj_out")(h)
+
+
+class Attention(nn.Module):
+    """Projected multi-head attention. x: (B, S, C), context: (B, T, Cx)."""
+
+    num_heads: int
+    head_dim: int
+    out_dim: int
+    dtype: jnp.dtype = jnp.float32
+    zero_init_out: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, context: Optional[jax.Array] = None) -> jax.Array:
+        ctx = x if context is None else context
+        inner = self.num_heads * self.head_dim
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+        b, s = q.shape[0], q.shape[1]
+        t = k.shape[1]
+        q = q.reshape(b, s, self.num_heads, self.head_dim)
+        k = k.reshape(b, t, self.num_heads, self.head_dim)
+        v = v.reshape(b, t, self.num_heads, self.head_dim)
+        o = multi_head_attention(q, k, v)
+        o = o.reshape(b, s, inner)
+        out_init = nn.initializers.zeros if self.zero_init_out else nn.initializers.lecun_normal()
+        out_name = "to_out_zero" if self.zero_init_out else "to_out"
+        return nn.Dense(self.out_dim, dtype=self.dtype, kernel_init=out_init, name=out_name)(o)
+
+
+class BasicTransformerBlock(nn.Module):
+    """LN->self-attn, LN->cross-attn, LN->GEGLU FF; all residual."""
+
+    dim: int
+    num_heads: int
+    head_dim: int
+    cross_attention_dim: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, context: Optional[jax.Array] = None) -> jax.Array:
+        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        x = x + Attention(self.num_heads, self.head_dim, self.dim, dtype=self.dtype, name="attn1")(h)
+        if self.cross_attention_dim is not None:
+            h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+            x = x + Attention(self.num_heads, self.head_dim, self.dim, dtype=self.dtype, name="attn2")(
+                h, context
+            )
+        h = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
+        x = x + GEGLUFeedForward(self.dim, dtype=self.dtype, name="ff")(h)
+        return x
+
+
+class SpatialTransformer(nn.Module):
+    """Per-frame spatial transformer with text cross-attention.
+    x: (N, H, W, C), context: (N, T, Cx)."""
+
+    num_heads: int
+    head_dim: int
+    cross_attention_dim: int
+    depth: int = 1
+    groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, context: jax.Array) -> jax.Array:
+        n, hh, ww, c = x.shape
+        residual = x
+        h = nn.GroupNorm(num_groups=self.groups, dtype=self.dtype, name="norm")(x)
+        h = h.reshape(n, hh * ww, c)
+        h = nn.Dense(c, dtype=self.dtype, name="proj_in")(h)
+        for i in range(self.depth):
+            h = BasicTransformerBlock(
+                c, self.num_heads, self.head_dim, self.cross_attention_dim,
+                dtype=self.dtype, name=f"block{i}",
+            )(h, context)
+        h = nn.Dense(c, dtype=self.dtype, kernel_init=nn.initializers.zeros, name="proj_out_zero")(h)
+        return residual + h.reshape(n, hh, ww, c)
+
+
+def rotary_embed(x: jax.Array, positions: jax.Array) -> jax.Array:
+    """Rotary position embedding over the sequence axis.
+    x: (B, S, H, D), positions: (S,). TPU-first addition for temporal attention
+    (the reference's temporal transformer has no positional signal)."""
+    d = x.shape[-1]
+    half = d // 2
+    freqs = jnp.exp(-math.log(10000.0) * jnp.arange(half, dtype=jnp.float32) / half)
+    angles = positions.astype(jnp.float32)[:, None] * freqs[None, :]  # (S, half)
+    cos = jnp.cos(angles)[None, :, None, :]
+    sin = jnp.sin(angles)[None, :, None, :]
+    x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+    out = jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
+    return out.astype(x.dtype)
+
+
+class TemporalAttention(nn.Module):
+    """Self-attention over the frame axis at every spatial location.
+
+    x: (B, F, H, W, C); frame_positions: (F,) absolute frame indices — under
+    frame-chunked execution each chunk passes its true global positions so
+    rotary phases match the unchunked model. Residual, zero-init out."""
+
+    num_heads: int
+    head_dim: int
+    use_rotary: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, frame_positions: Optional[jax.Array] = None) -> jax.Array:
+        b, f, hh, ww, c = x.shape
+        residual = x
+        h = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        # (B*H*W, F, C): frame axis is the sequence
+        h = h.transpose(0, 2, 3, 1, 4).reshape(b * hh * ww, f, c)
+        inner = self.num_heads * self.head_dim
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(h)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(h)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(h)
+        q = q.reshape(-1, f, self.num_heads, self.head_dim)
+        k = k.reshape(-1, f, self.num_heads, self.head_dim)
+        v = v.reshape(-1, f, self.num_heads, self.head_dim)
+        if self.use_rotary:
+            pos = frame_positions if frame_positions is not None else jnp.arange(f)
+            q = rotary_embed(q, pos)
+            k = rotary_embed(k, pos)
+        o = multi_head_attention(q, k, v)
+        o = o.reshape(-1, f, inner)
+        o = nn.Dense(c, dtype=self.dtype, kernel_init=nn.initializers.zeros, name="to_out_zero")(o)
+        o = o.reshape(b, hh, ww, f, c).transpose(0, 3, 1, 2, 4)
+        return residual + o
+
+
+class Downsample2D(nn.Module):
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return nn.Conv(self.channels, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                       dtype=self.dtype, name="conv")(x)
+
+
+class Upsample2D(nn.Module):
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        n, h, w, c = x.shape
+        x = jax.image.resize(x, (n, h * 2, w * 2, c), method="nearest")
+        return nn.Conv(self.channels, (3, 3), padding="SAME", dtype=self.dtype, name="conv")(x)

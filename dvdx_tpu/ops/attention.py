@@ -1,0 +1,63 @@
+"""Multi-head attention primitives.
+
+Single dispatch point for every attention in the framework (spatial self-attn,
+temporal self-attn, text cross-attn — the hot loops of the reference's UNet3D
+denoise step, `/root/reference/InferNet/neurons/miner.py:571-589`). Two paths:
+
+* ``xla``    — einsum softmax-attention; XLA fuses this well on TPU and it is
+  the bit-reference for verification.
+* ``pallas`` — fused flash-attention kernel (ops/pallas/flash_attention.py) for
+  long sequences; numerically equal within bf16 tolerance, used on the serving
+  path where the sequence is big enough to pay off.
+
+All math accumulates in f32 on the MXU (preferred_element_type) regardless of
+input dtype.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_PALLAS_MIN_SEQ = 1024  # below this the XLA path is faster (kernel launch + tiling overhead)
+
+
+def _xla_attention(q, k, v, scale: float) -> jax.Array:
+    """q: (B, S, H, D), k/v: (B, T, H, D) -> (B, S, H, D)."""
+    logits = jnp.einsum("bshd,bthd->bhst", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhst,bthd->bshd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+def multi_head_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    scale: Optional[float] = None,
+    impl: str = "auto",
+) -> jax.Array:
+    """Scaled-dot-product attention over (batch, seq, heads, head_dim).
+
+    impl: 'xla' | 'pallas' | 'auto'. 'auto' picks pallas for long self-attn
+    sequences on TPU, xla otherwise. Deterministic for fixed impl/shape.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    if impl == "auto":
+        use_pallas = (
+            q.shape[1] >= _PALLAS_MIN_SEQ
+            and q.shape[1] == k.shape[1]
+            and jax.default_backend() == "tpu"
+        )
+        impl = "pallas" if use_pallas else "xla"
+    if impl == "pallas":
+        from .pallas.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, scale=scale)
+    return _xla_attention(q, k, v, scale)

@@ -1,0 +1,253 @@
+"""Text -> video latent-diffusion pipeline (single logical device view).
+
+The distributed strategies in ``dvdx_tpu.parallel`` reuse exactly these pure
+functions under different shardings — one denoiser, many meshes — instead of
+the reference's four divergent strategy scripts
+(`/root/reference/Distribution/strategies/{fsdp,chunk_only,fsdp_chunked,
+fsdp_chunked_coherent}.py`).
+
+Determinism contract (Proof-of-Inference): given (params, seed, prompt tokens,
+schedule, guidance), every array this module produces is a pure function of its
+inputs; recorded (z_t, eps_t) pairs are the Merkle leaves the miner commits to
+(`/root/reference/InferNet/neurons/miner.py:571-589,631-636`).
+
+Performance note: jitted generators are cached per generation geometry on the
+Pipeline object and take params explicitly, so parameter swaps (resharding,
+perturbation) never invalidate traces.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.text_encoder import CLIPTextEncoder, init_text_params, tokenize_batch
+from ..models.unet3d import UNet3D, init_unet_params
+from ..models.vae import VAEDecoder, decode_frames_tiled
+from ..models.zoo import ModelSpec, get_model_spec
+from ..ops import rng as rng_ops
+from ..ops.scheduler import DDIMSchedule, ddim_step, make_ddim_schedule
+
+
+@dataclasses.dataclass
+class Pipeline:
+    """Bundle of model defs + params. Params are plain pytrees so the parallel
+    layer can re-shard them without touching this class."""
+
+    spec: ModelSpec
+    unet: UNet3D
+    text_encoder: CLIPTextEncoder
+    vae_decoder: VAEDecoder
+    params: Dict[str, Any]
+    _gen_cache: Dict[tuple, Any] = dataclasses.field(default_factory=dict)
+
+    @property
+    def latent_channels(self) -> int:
+        return self.spec.unet.in_channels
+
+    def generator(self, num_frames: int, height: int, width: int, num_steps: int,
+                  guidance_scale: float, context_weight: float, record: bool):
+        """Jitted (params, token_ids, noise_key) -> frames [, zs, epss]."""
+        key = (num_frames, height, width, num_steps, float(guidance_scale),
+               float(context_weight), bool(record))
+        if key not in self._gen_cache:
+            sched = make_ddim_schedule(num_steps)
+            fn = functools.partial(
+                generate_core, self.spec, self.unet.apply, self.text_encoder.apply,
+                self.vae_decoder.apply, sched=sched, num_frames=num_frames,
+                height=height, width=width, guidance_scale=guidance_scale,
+                context_weight=context_weight, record=record,
+            )
+            self._gen_cache[key] = (jax.jit(fn), sched)
+        return self._gen_cache[key]
+
+
+def build_pipeline(model_name: str = "zeroscope-tiny", seed: int = 0) -> Pipeline:
+    """Random-init pipeline for a registered model family (host-side init)."""
+    from ..utils.init import fast_init
+
+    spec = get_model_spec(model_name)
+    unet = UNet3D(spec.unet)
+    text = CLIPTextEncoder(spec.text)
+    vae_dec = VAEDecoder(spec.vae)
+    params = {
+        "unet": init_unet_params(spec.unet, seed=seed),
+        "text": init_text_params(spec.text, seed=seed + 1),
+        "vae_dec": fast_init(
+            vae_dec, seed + 2,
+            jnp.zeros((1, 8, 8, spec.vae.latent_channels), jnp.float32),
+        ),
+    }
+    return Pipeline(spec=spec, unet=unet, text_encoder=text, vae_decoder=vae_dec, params=params)
+
+
+def encode_prompts(pipe: Pipeline, prompts: List[str]) -> jax.Array:
+    """Prompts -> encoder hidden states (B, S, D)."""
+    ids = tokenize_batch(prompts, pipe.spec.text.vocab_size, pipe.spec.text.max_length)
+    hidden, _ = jax.jit(pipe.text_encoder.apply)(pipe.params["text"], jnp.asarray(ids))
+    return hidden
+
+
+def cfg_denoise_step(
+    unet_apply,
+    unet_params,
+    sched: DDIMSchedule,
+    z: jax.Array,
+    step_index: jax.Array,
+    cond: jax.Array,
+    uncond: jax.Array,
+    guidance_scale: float,
+    frame_positions: Optional[jax.Array] = None,
+    context_latent: Optional[jax.Array] = None,
+    context_weight: float = 0.0,
+) -> Tuple[jax.Array, jax.Array]:
+    """One classifier-free-guidance denoise step. Returns (z_prev, eps_guided).
+
+    Mirrors the reference hot loop (`fsdp.py:139-153`): duplicate latent for
+    [uncond, cond], optionally add the CCI global-context latent to the model
+    *input* (`fsdp_chunked_coherent.py:134-137`), guide, then DDIM-update.
+    """
+    t = sched.timesteps[step_index]
+    b = z.shape[0]
+    x = jnp.concatenate([z, z], axis=0)
+    if context_latent is not None and context_weight > 0.0:
+        x = x + jnp.asarray(context_weight, x.dtype) * context_latent.astype(x.dtype)
+    ctx = jnp.concatenate([uncond, cond], axis=0)
+    ts = jnp.full((2 * b,), t, jnp.int32)
+    eps_pair = unet_apply(unet_params, x, ts, ctx, frame_positions)
+    eps_u, eps_c = jnp.split(eps_pair, 2, axis=0)
+    eps = eps_u + jnp.asarray(guidance_scale, eps_u.dtype) * (eps_c - eps_u)
+    z_prev = ddim_step(sched, step_index, z, eps)
+    return z_prev, eps
+
+
+def denoise(
+    unet_apply,
+    unet_params,
+    sched: DDIMSchedule,
+    z0: jax.Array,
+    cond: jax.Array,
+    uncond: jax.Array,
+    guidance_scale: float,
+    frame_positions: Optional[jax.Array] = None,
+    context_latent: Optional[jax.Array] = None,
+    context_weight: float = 0.0,
+    record: bool = False,
+):
+    """Full denoise loop as lax.scan. z0: (B, F, h, w, C).
+
+    record=True additionally returns (z_t, eps_t) per step — the Proof-of-
+    Inference leaves (z stacked pre-update, as `miner.py:571-589` records).
+    """
+
+    def body(z, step_index):
+        z_prev, eps = cfg_denoise_step(
+            unet_apply, unet_params, sched, z, step_index, cond, uncond,
+            guidance_scale, frame_positions, context_latent, context_weight,
+        )
+        out = (z, eps) if record else None
+        return z_prev, out
+
+    steps = jnp.arange(sched.num_steps)
+    z_final, recs = jax.lax.scan(body, z0, steps)
+    if record:
+        return z_final, recs[0], recs[1]
+    return z_final
+
+
+def generate_core(
+    spec: ModelSpec,
+    unet_apply,
+    text_apply,
+    vae_apply,
+    params: Dict[str, Any],
+    token_ids: jax.Array,          # (2, S): [negative, prompt]
+    noise_key: jax.Array,          # jax PRNG key (from ops.rng.base_key(seed))
+    *,
+    sched: DDIMSchedule,
+    num_frames: int,
+    height: int,
+    width: int,
+    guidance_scale: float,
+    context_weight: float = 0.0,
+    record: bool = False,
+    latent_dtype=jnp.bfloat16,
+):
+    """Pure jittable core: tokens + seed -> decoded frames (F, H, W, 3) f32.
+
+    The whole body lives in one trace: text encode, base-noise synthesis,
+    scan'd denoise, per-frame VAE decode.
+    """
+    ds = spec.vae.downscale
+    lh, lw = height // ds, width // ds
+    c = spec.unet.in_channels
+
+    hidden, _ = text_apply(params["text"], token_ids)
+    uncond, cond = hidden[0:1], hidden[1:2]
+
+    z0 = rng_ops.video_noise(noise_key, num_frames, (lh, lw, c), dtype=jnp.float32)
+    ctx = None
+    if context_weight > 0.0:
+        # CCI: global context = time-mean of the base noise (reference
+        # fsdp_chunked_coherent.py:105-127, rank-0 broadcast -> here a pure fn)
+        ctx = jnp.mean(z0, axis=0, keepdims=True)[None]  # (1, 1, lh, lw, c)
+    z0 = z0[None].astype(latent_dtype)  # (1, F, lh, lw, C)
+
+    out = denoise(
+        unet_apply, params["unet"], sched, z0, cond, uncond,
+        guidance_scale, context_latent=ctx, context_weight=context_weight,
+        record=record,
+    )
+    if record:
+        z_final, zs, epss = out
+    else:
+        z_final = out
+
+    frames = decode_frames_tiled(vae_apply, params["vae_dec"],
+                                 z_final[0].astype(jnp.float32))
+    if record:
+        return frames, zs, epss
+    return frames
+
+
+def generate(
+    pipe: Pipeline,
+    prompt: str,
+    *,
+    negative_prompt: str = "",
+    seed: int = 0,
+    num_frames: Optional[int] = None,
+    height: Optional[int] = None,
+    width: Optional[int] = None,
+    num_steps: Optional[int] = None,
+    guidance_scale: Optional[float] = None,
+    context_weight: float = 0.0,
+    record: bool = False,
+):
+    """User-facing generation. Returns frames as uint8 (F, H, W, 3) ndarray,
+    plus (zs, epss, timesteps) when record=True."""
+    spec = pipe.spec
+    num_frames = num_frames or spec.default_frames
+    height = height or spec.default_height
+    width = width or spec.default_width
+    num_steps = num_steps or spec.default_steps
+    if guidance_scale is None:
+        guidance_scale = spec.default_guidance_scale
+
+    fn, sched = pipe.generator(num_frames, height, width, num_steps,
+                               guidance_scale, context_weight, record)
+    ids = tokenize_batch([negative_prompt, prompt], spec.text.vocab_size, spec.text.max_length)
+    out = fn(pipe.params, jnp.asarray(ids), rng_ops.base_key(seed))
+    if record:
+        frames, zs, epss = out
+    else:
+        frames = out
+    video = np.asarray(((frames + 1.0) * 127.5).clip(0, 255).astype(jnp.uint8))
+    if record:
+        return video, (np.asarray(zs), np.asarray(epss), np.asarray(sched.timesteps))
+    return video

@@ -1,0 +1,160 @@
+"""Proof-of-Inference primitives: seed derivation, signatures, proof assembly.
+
+Functional parity with `/root/reference/InferNet/template/validator/proof.py`:
+* ``derive_seed`` — HMAC-SHA256(validator_key, challenge) -> 64-bit seed
+  (reference `proof.py:11-18`);
+* signed message layout challenge ‖ seed_le64 ‖ sha256(video) ‖ merkle_root
+  (reference `neurons/miner.py:266-332`, verified at `proof.py:21-127`);
+* commit-then-reveal spot-check index sampling with *consecutive pairs* so the
+  temporal-coherence check can re-derive z_{t+1} from (z_t, eps_t)
+  (reference `validator.py:641-684`, `proof.py:397-416`).
+
+Signature scheme: Ed25519 (the reference uses substrate sr25519 via the
+bittensor wallet; this framework is chain-agnostic, and Ed25519 is the
+TPU-host-native choice with a vetted implementation in `cryptography`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import hmac
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from cryptography.hazmat.primitives.asymmetric.ed25519 import (
+    Ed25519PrivateKey,
+    Ed25519PublicKey,
+)
+from cryptography.exceptions import InvalidSignature
+
+
+def derive_seed(validator_key: bytes, challenge: bytes) -> int:
+    """64-bit inference seed = first 8 bytes of HMAC-SHA256(key, challenge),
+    little-endian (reference proof.py:11-18 takes digest[0:8])."""
+    digest = hmac.new(validator_key, challenge, hashlib.sha256).digest()
+    return int.from_bytes(digest[:8], "little")
+
+
+@dataclasses.dataclass(frozen=True)
+class Keypair:
+    """Ed25519 signing identity for miners/validators."""
+
+    private: Ed25519PrivateKey
+
+    @classmethod
+    def generate(cls) -> "Keypair":
+        return cls(Ed25519PrivateKey.generate())
+
+    @classmethod
+    def from_seed(cls, seed: bytes) -> "Keypair":
+        """Deterministic keypair from 32 bytes (tests / reproducible miners)."""
+        return cls(Ed25519PrivateKey.from_private_bytes(hashlib.sha256(seed).digest()))
+
+    @property
+    def public_bytes(self) -> bytes:
+        from cryptography.hazmat.primitives.serialization import (
+            Encoding,
+            PublicFormat,
+        )
+
+        return self.private.public_key().public_bytes(Encoding.Raw, PublicFormat.Raw)
+
+    def sign(self, message: bytes) -> bytes:
+        return self.private.sign(message)
+
+
+def verify_signature(public_bytes: bytes, message: bytes, signature: bytes) -> bool:
+    try:
+        Ed25519PublicKey.from_public_bytes(public_bytes).verify(signature, message)
+        return True
+    except (InvalidSignature, ValueError):
+        return False
+
+
+def proof_message(challenge: bytes, seed: int, video_sha256: bytes, merkle_root: bytes) -> bytes:
+    """challenge ‖ seed_le64 ‖ sha256(video) ‖ root — the byte string the miner
+    signs (reference miner.py:266-332)."""
+    return challenge + int(seed).to_bytes(8, "little") + video_sha256 + merkle_root
+
+
+def sign_proof(keypair: Keypair, challenge: bytes, seed: int, video_bytes: bytes,
+               merkle_root: bytes) -> bytes:
+    return keypair.sign(proof_message(challenge, seed, hashlib.sha256(video_bytes).digest(),
+                                      merkle_root))
+
+
+def verify_proof_signature(public_bytes: bytes, challenge: bytes, seed: int,
+                           video_bytes: bytes, merkle_root: bytes, signature: bytes) -> bool:
+    msg = proof_message(challenge, seed, hashlib.sha256(video_bytes).digest(), merkle_root)
+    return verify_signature(public_bytes, msg, signature)
+
+
+def sample_spotcheck_pairs(
+    merkle_root: bytes,
+    challenge: bytes,
+    num_steps: int,
+    num_checks: int = 3,
+) -> List[Tuple[int, int]]:
+    """Deterministic commit-then-reveal sampler: the indices depend on the
+    *committed* root + the validator challenge, so the miner cannot grind them
+    before committing and the validator cannot be accused of targeting.
+
+    Returns `num_checks` (i, i+1) consecutive step-index pairs (reference
+    samples consecutive timestep pairs at `validator.py:641-684`; its sampler
+    `proof.py:397-416` uses a plain RNG — binding to root‖challenge is the
+    strengthening our bitwise-deterministic re-execution allows).
+    """
+    if num_steps < 2:
+        return []
+    num_checks = min(num_checks, num_steps - 1)
+    picked: List[int] = []
+    counter = 0
+    while len(picked) < num_checks:
+        digest = hashlib.sha256(merkle_root + challenge + counter.to_bytes(4, "big")).digest()
+        idx = int.from_bytes(digest[:8], "big") % (num_steps - 1)
+        if idx not in picked:
+            picked.append(idx)
+        counter += 1
+    return [(i, i + 1) for i in sorted(picked)]
+
+
+@dataclasses.dataclass
+class InferenceProof:
+    """The proof dict the miner returns with a response (reference schema at
+    `neurons/miner.py:643-666`)."""
+
+    merkle_root: bytes
+    signature: bytes
+    miner_pubkey: bytes
+    challenge: bytes
+    seed: int
+    num_steps: int
+    timesteps: List[int]
+    video_sha256: bytes
+
+    def to_dict(self) -> dict:
+        return {
+            "merkle_root": self.merkle_root.hex(),
+            "signature": self.signature.hex(),
+            "miner_pubkey": self.miner_pubkey.hex(),
+            "challenge": self.challenge.hex(),
+            "seed": self.seed,
+            "num_steps": self.num_steps,
+            "timesteps": list(map(int, self.timesteps)),
+            "video_sha256": self.video_sha256.hex(),
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "InferenceProof":
+        return cls(
+            merkle_root=bytes.fromhex(d["merkle_root"]),
+            signature=bytes.fromhex(d["signature"]),
+            miner_pubkey=bytes.fromhex(d["miner_pubkey"]),
+            challenge=bytes.fromhex(d["challenge"]),
+            seed=int(d["seed"]),
+            num_steps=int(d["num_steps"]),
+            timesteps=[int(t) for t in d["timesteps"]],
+            video_sha256=bytes.fromhex(d["video_sha256"]),
+        )
