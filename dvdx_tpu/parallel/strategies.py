@@ -1,0 +1,175 @@
+"""Execution strategies = sharding configurations of one denoiser.
+
+Reference mapping (SURVEY.md §2.1):
+  single     -> legacy/baseline single-device run
+  fsdp       -> strategies/fsdp.py        (param shard, full latent per rank)
+  chunk      -> strategies/chunk_only.py  (replicated params, temporal chunks)
+  hybrid     -> strategies/fsdp_chunked.py
+  hybrid_ctx -> strategies/fsdp_chunked_coherent.py --mode hybrid_ctx (CCI)
+  cp_exact   -> no reference analog: *exact* context parallelism — frame axis
+                sharded with global temporal attention via XLA collectives.
+                This is the idiomatic TPU upgrade of overlap blending: zero
+                boundary artefacts (temp_instab = 0 by construction).
+
+Each preset produces ONE jitted program; the mesh (data, model, seq) decides
+where collectives appear: params over `model` (JIT all-gather per layer =
+ZeRO-3), chunks/frames over `seq` (no comm during denoise for `chunk`/`hybrid`
+— the blend's gather is the only exchange, like the reference's single
+all_gather_object, but on ICI instead of pickled TCP).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import rng as rng_ops
+from ..ops.scheduler import make_ddim_schedule
+from ..pipelines.text2video import Pipeline, denoise
+from .chunking import ChunkPlan, auto_chunk_count, blend_chunks, gather_chunks, plan_chunks
+from .mesh import make_mesh
+from .sharding import param_shardings
+
+
+@dataclasses.dataclass(frozen=True)
+class Strategy:
+    """A named sharding configuration (the reference's --mode flag,
+    `fsdp_chunked_coherent.py:292,303-305`)."""
+
+    name: str
+    shard_params: bool = False
+    chunked: bool = False
+    num_chunks: int = 0          # 0 = auto (reference auto chunk sizing)
+    overlap: int = 2
+    context_weight: float = 0.0  # CCI weight (reference default 0.35)
+    exact_cp: bool = False
+
+
+PRESETS: Dict[str, Strategy] = {
+    "single": Strategy("single"),
+    "fsdp": Strategy("fsdp", shard_params=True),
+    "chunk": Strategy("chunk", chunked=True),
+    "hybrid": Strategy("hybrid", shard_params=True, chunked=True),
+    "hybrid_ctx": Strategy("hybrid_ctx", shard_params=True, chunked=True,
+                           context_weight=0.35),
+    "cp_exact": Strategy("cp_exact", shard_params=True, exact_cp=True),
+}
+
+
+def get_strategy(name: str, **overrides) -> Strategy:
+    if name not in PRESETS:
+        raise KeyError(f"unknown strategy {name!r}; available: {sorted(PRESETS)}")
+    return dataclasses.replace(PRESETS[name], **overrides) if overrides else PRESETS[name]
+
+
+@dataclasses.dataclass
+class StrategyRunner:
+    """A compiled strategy: call .generate(seed, prompt tokens) on the host."""
+
+    strategy: Strategy
+    mesh: Mesh
+    plan: Optional[ChunkPlan]
+    fn: Any                      # jitted (params, token_ids, key) -> frames
+    sched: Any
+    num_frames: int
+    height: int
+    width: int
+
+    def __call__(self, params, token_ids, noise_key):
+        return self.fn(params, token_ids, noise_key)
+
+
+def build_runner(
+    pipe: Pipeline,
+    strategy: Strategy,
+    mesh: Mesh,
+    *,
+    num_frames: int,
+    height: int,
+    width: int,
+    num_steps: int,
+    guidance_scale: float = 7.5,
+    latent_dtype=jnp.bfloat16,
+    decode_group: int = 0,
+) -> StrategyRunner:
+    """Trace + jit one strategy for a fixed generation geometry."""
+    spec = pipe.spec
+    ds = spec.vae.downscale
+    lh, lw = height // ds, width // ds
+    c = spec.unet.in_channels
+    sched = make_ddim_schedule(num_steps)
+    seq = mesh.shape["seq"]
+
+    plan = None
+    if strategy.chunked:
+        n = strategy.num_chunks or auto_chunk_count(num_frames, seq)
+        plan = plan_chunks(num_frames, n, strategy.overlap)
+
+    unet_apply = pipe.unet.apply
+    text_apply = pipe.text_encoder.apply
+    vae_apply = pipe.vae_decoder.apply
+    cw = strategy.context_weight
+
+    chunk_shard = NamedSharding(mesh, P("seq"))
+    frame_shard = NamedSharding(mesh, P(None, "seq"))
+    dec_in_shard = NamedSharding(mesh, P("seq"))
+
+    def decode(vae_params, z):  # z: (F, lh, lw, C) f32
+        z = jax.lax.with_sharding_constraint(z, dec_in_shard)
+        g = decode_group or seq
+        f = z.shape[0]
+        if f % g:
+            g = 1
+        groups = z.reshape(f // g, g, lh, lw, c)
+
+        def one(carry, zg):
+            img = jax.vmap(lambda zz: vae_apply(vae_params, zz[None])[0])(zg)
+            return carry, img
+
+        _, imgs = jax.lax.scan(one, None, groups)
+        return imgs.reshape(imgs.shape[0] * imgs.shape[1], *imgs.shape[2:])
+
+    def core(params, token_ids, noise_key):
+        hidden, _ = text_apply(params["text"], token_ids)
+        uncond, cond = hidden[0:1], hidden[1:2]
+
+        z0_full = rng_ops.video_noise(noise_key, num_frames, (lh, lw, c), jnp.float32)
+        ctx = None
+        if cw > 0.0:
+            ctx = jnp.mean(z0_full, axis=0, keepdims=True)[None]  # (1,1,lh,lw,c)
+
+        if strategy.chunked:
+            chunks = gather_chunks(z0_full[None], plan)[0]  # (n, L, lh, lw, c)
+            z = jax.lax.with_sharding_constraint(chunks.astype(latent_dtype), chunk_shard)
+            n = plan.num_chunks
+            cond_n = jnp.broadcast_to(cond, (n,) + cond.shape[1:])
+            uncond_n = jnp.broadcast_to(uncond, (n,) + uncond.shape[1:])
+            zf = denoise(unet_apply, params["unet"], sched, z, cond_n, uncond_n,
+                         guidance_scale, context_latent=ctx, context_weight=cw)
+            zf = jax.lax.with_sharding_constraint(zf, chunk_shard)
+            z_final = blend_chunks(zf[None].astype(jnp.float32), plan)[0]  # (F,...)
+        else:
+            z = z0_full[None].astype(latent_dtype)
+            if strategy.exact_cp:
+                z = jax.lax.with_sharding_constraint(z, frame_shard)
+            zf = denoise(unet_apply, params["unet"], sched, z, cond, uncond,
+                         guidance_scale, context_latent=ctx, context_weight=cw)
+            z_final = zf[0].astype(jnp.float32)
+
+        return decode(params["vae_dec"], z_final)
+
+    shardings = {
+        "unet": param_shardings(pipe.params["unet"], mesh, strategy.shard_params),
+        "text": param_shardings(pipe.params["text"], mesh, strategy.shard_params),
+        "vae_dec": param_shardings(pipe.params["vae_dec"], mesh, strategy.shard_params),
+    }
+    rep = NamedSharding(mesh, P())
+    fn = jax.jit(core, in_shardings=(shardings, rep, rep), out_shardings=rep)
+    return StrategyRunner(strategy=strategy, mesh=mesh, plan=plan, fn=fn, sched=sched,
+                          num_frames=num_frames, height=height, width=width)

@@ -7,7 +7,7 @@ SURVEY.md §4) — multi-chip sharding semantics are validated on host CPU.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # the runtime pre-sets axon (TPU tunnel)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
@@ -15,6 +15,10 @@ if "xla_force_host_platform_device_count" not in flags:
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
+
+# The runtime's sitecustomize registers the axon TPU backend and pins
+# JAX_PLATFORMS=axon; the env var alone doesn't stick — force via config.
+jax.config.update("jax_platforms", "cpu")
 
 # persistent compile cache: XLA-on-CPU compiles are expensive in this runtime
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")

@@ -1,0 +1,97 @@
+"""Strategy/sharding tests on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dvdx_tpu.ops import rng as rng_ops
+from dvdx_tpu.parallel.chunking import (
+    auto_chunk_count,
+    blend_chunks,
+    gather_chunks,
+    plan_chunks,
+)
+from dvdx_tpu.parallel.mesh import make_mesh
+from dvdx_tpu.parallel.sharding import param_shardings, sharded_size_per_device
+from dvdx_tpu.parallel.strategies import build_runner, get_strategy
+from dvdx_tpu.models.text_encoder import tokenize_batch
+
+
+def test_plan_chunks_cover_all_frames():
+    for nf, nc, ov in [(16, 4, 2), (16, 1, 2), (25, 5, 3), (8, 8, 1)]:
+        plan = plan_chunks(nf, nc, ov)
+        covered = np.unique(plan.frame_index)
+        np.testing.assert_array_equal(covered, np.arange(nf))
+        assert plan.weights.shape == plan.frame_index.shape
+        assert plan.weights.min() > 0
+
+
+def test_blend_is_partition_of_unity():
+    """Blending chunks of a constant video must return the constant —
+    guarantees the ramp weights normalise correctly."""
+    plan = plan_chunks(16, 4, 2)
+    x = jnp.ones((1, 16, 4, 4, 2)) * 3.5
+    chunks = gather_chunks(x, plan)
+    out = blend_chunks(chunks, plan)
+    np.testing.assert_allclose(np.asarray(out), 3.5, rtol=1e-6)
+
+
+def test_blend_roundtrip_identity_single_chunk():
+    plan = plan_chunks(8, 1)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 8, 2, 2, 4)).astype(np.float32))
+    out = blend_chunks(gather_chunks(x, plan), plan)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), rtol=1e-6)
+
+
+def test_auto_chunk_count_divisible():
+    for shards in [1, 2, 4, 8]:
+        n = auto_chunk_count(64, shards)
+        assert n % shards == 0
+
+
+def test_param_shardings_shapes():
+    mesh = make_mesh((1, 4, 2))
+    params = {"a": jnp.zeros((256, 128)), "b": jnp.zeros((3,))}
+    sh = param_shardings(params, mesh, shard=True)
+    assert sh["a"].spec == jax.sharding.PartitionSpec(None, "model")
+    assert sh["b"].spec == jax.sharding.PartitionSpec()
+    # sharded bytes: big param divided by 4, small replicated
+    per_dev = sharded_size_per_device(params, mesh, shard=True)
+    assert per_dev == 256 * 128 * 4 // 4 + 3 * 4
+
+
+@pytest.mark.parametrize("name,mesh_shape", [
+    ("chunk", (1, 1, 8)),
+    ("fsdp", (1, 8, 1)),
+    ("hybrid_ctx", (1, 2, 4)),
+    ("cp_exact", (1, 2, 4)),
+])
+def test_strategies_run_on_mesh(tiny_pipeline, name, mesh_shape):
+    pipe = tiny_pipeline
+    mesh = make_mesh(mesh_shape)
+    strat = get_strategy(name)
+    runner = build_runner(pipe, strat, mesh, num_frames=8, height=32, width=32,
+                          num_steps=2, guidance_scale=7.5)
+    ids = tokenize_batch(["", "a city street"], pipe.spec.text.vocab_size,
+                         pipe.spec.text.max_length)
+    frames = runner(pipe.params, jnp.asarray(ids), rng_ops.base_key(5))
+    assert frames.shape == (8, 32, 32, 3)
+    assert np.all(np.isfinite(np.asarray(frames)))
+
+
+def test_chunk_strategy_matches_singlechunk_semantics(tiny_pipeline):
+    """One chunk == unchunked denoise: the chunked program with n=1 must equal
+    the plain path bit-for-bit (same trace modulo gather/blend identity)."""
+    pipe = tiny_pipeline
+    mesh = make_mesh((1, 1, 1), devices=[jax.devices()[0]])
+    ids = jnp.asarray(tokenize_batch(["", "x"], pipe.spec.text.vocab_size,
+                                     pipe.spec.text.max_length))
+    key = rng_ops.base_key(3)
+    single = build_runner(pipe, get_strategy("single"), mesh, num_frames=4,
+                          height=32, width=32, num_steps=2)
+    chunk1 = build_runner(pipe, get_strategy("chunk", num_chunks=1), mesh,
+                          num_frames=4, height=32, width=32, num_steps=2)
+    a = np.asarray(single(pipe.params, ids, key))
+    b = np.asarray(chunk1(pipe.params, ids, key))
+    np.testing.assert_allclose(a, b, atol=2e-5)
