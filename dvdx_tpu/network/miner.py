@@ -1,0 +1,170 @@
+"""Miner neuron: generate video + Proof-of-Inference on request.
+
+Reference: `/root/reference/InferNet/neurons/miner.py` — on an InferNet
+synapse the miner seeds its RNG with the validator seed (:508-510), runs the
+denoise loop recording every (z_t, eps_t, t) (:571-589), VAE-decodes and
+exports mp4 (:591-618), builds the Merkle tree (:180-264), signs
+challenge‖seed‖sha256(video)‖root (:266-332), and answers leaf-reveal
+spot-check requests from its stored leaf data (:345-456, :813-888). Blacklist
+and priority policies gate callers (:760-811).
+
+TPU-native differences:
+* generation runs as ONE jitted program (text encode + scan'd denoise with
+  recording + decode) — no per-step Python;
+* the reveal path serves raw little-endian bf16 bytes + Merkle paths (no
+  base64 JSON);
+* spot-check is a first-class RevealRequest message, not a sentinel synapse
+  with seed=0 (the reference overloads the request type, miner.py:347-456).
+"""
+
+from __future__ import annotations
+
+import collections
+import dataclasses
+import hashlib
+import io
+import time
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from ..pipelines.text2video import Pipeline
+from ..utils.video_io import encode_mp4
+from ..verify.spotcheck import StepEngine
+from ..verify.merkle import MerkleCommitment
+from ..verify.proof import Keypair, sign_proof
+from . import protocol as P
+from .base import Neuron, Registry
+
+
+@dataclasses.dataclass
+class MinerConfig:
+    max_stored_proofs: int = 16       # LRU of reveal-able traces
+    min_validator_stake: int = 0      # blacklist threshold (miner.py:760-792)
+    max_frames: int = 64
+    max_steps: int = 100
+    fps_default: int = 8
+
+
+class Miner(Neuron):
+    """In-process miner logic; transports (mock or HTTP) call handle()."""
+
+    def __init__(self, pipeline: Pipeline, keypair: Keypair, registry: Registry,
+                 config: Optional[MinerConfig] = None):
+        super().__init__(keypair=keypair, registry=registry, role="miner")
+        self.pipeline = pipeline
+        # PoI-grade generation: the SAME jitted step program the validator
+        # re-executes -> bitwise-verifiable commitments (verify/spotcheck.py)
+        self.engine = StepEngine(pipeline)
+        self.config = config or MinerConfig()
+        # request_id -> (merkle commitment, timesteps)  [reveal store]
+        self._proofs: "collections.OrderedDict[str, MerkleCommitment]" = (
+            collections.OrderedDict()
+        )
+        self.metrics = {"requests": 0, "errors": 0, "reveals": 0,
+                        "total_gen_s": 0.0}
+
+    # -- policies (reference blacklist/priority, miner.py:760-811) --
+
+    def blacklisted(self, validator_pubkey: bytes) -> bool:
+        if not validator_pubkey:
+            return True
+        info = self.registry.by_pubkey(validator_pubkey)
+        if info is None or info.role != "validator":
+            return True
+        return info.stake < self.config.min_validator_stake
+
+    def priority(self, validator_pubkey: bytes) -> float:
+        info = self.registry.by_pubkey(validator_pubkey)
+        return float(info.stake) if info else 0.0
+
+    # -- request handling --
+
+    def handle(self, msg):
+        if isinstance(msg, P.Ping):
+            return P.Pong(nonce=msg.nonce, pubkey=self.pubkey)
+        if isinstance(msg, P.InferenceRequest):
+            return self.handle_inference(msg)
+        if isinstance(msg, P.RevealRequest):
+            return self.handle_reveal(msg)
+        raise ValueError(f"miner cannot handle {type(msg).__name__}")
+
+    def handle_inference(self, req: P.InferenceRequest) -> P.InferenceResponse:
+        self.metrics["requests"] += 1
+        if self.blacklisted(req.validator_pubkey):
+            self.metrics["errors"] += 1
+            return P.InferenceResponse(request_id=req.request_id, status="error",
+                                       error="blacklisted caller")
+        try:
+            return self._generate_with_proof(req)
+        except Exception as e:  # graceful degradation (miner.py:690-728)
+            self.metrics["errors"] += 1
+            return P.InferenceResponse(request_id=req.request_id, status="error",
+                                       error=f"{type(e).__name__}: {e}",
+                                       miner_pubkey=self.pubkey,
+                                       challenge=req.challenge, seed=req.seed)
+
+    def _generate_with_proof(self, req: P.InferenceRequest) -> P.InferenceResponse:
+        cfg = self.config
+        if req.num_frames > cfg.max_frames or req.num_steps > cfg.max_steps:
+            raise ValueError("request exceeds miner limits")
+
+        t0 = time.time()
+        frames_f32, zs, epss, timesteps = self.engine.generate_recorded(
+            req.prompt, negative_prompt=req.negative_prompt, seed=req.seed,
+            num_frames=req.num_frames, height=req.height, width=req.width,
+            num_steps=req.num_steps, guidance_scale=req.guidance_scale,
+        )
+        video = ((frames_f32 + 1.0) * 127.5).clip(0, 255).astype(np.uint8)
+        gen_s = time.time() - t0
+        self.metrics["total_gen_s"] += gen_s
+
+        # leaves hash the raw bf16 bytes of (z_t, eps_t) per step
+        commitment = MerkleCommitment(timesteps, zs, epss)
+        self._store_proof(req.request_id, commitment)
+
+        mp4 = encode_mp4(video, fps=req.fps or cfg.fps_default)
+        signature = sign_proof(self.keypair, req.challenge, req.seed, mp4,
+                               commitment.root)
+
+        import jax
+
+        return P.InferenceResponse(
+            request_id=req.request_id,
+            video=mp4,
+            video_sha256=hashlib.sha256(mp4).digest(),
+            merkle_root=commitment.root,
+            signature=signature,
+            miner_pubkey=self.pubkey,
+            challenge=req.challenge,
+            seed=req.seed,
+            num_steps=req.num_steps,
+            timesteps=[int(t) for t in timesteps],
+            latent_shape=list(zs.shape[1:]),
+            latent_dtype=str(zs.dtype),
+            platform=jax.default_backend(),
+            gen_time_s=gen_s,
+        )
+
+    def _store_proof(self, request_id: str, commitment: MerkleCommitment):
+        self._proofs[request_id] = commitment
+        while len(self._proofs) > self.config.max_stored_proofs:
+            self._proofs.popitem(last=False)
+
+    def handle_reveal(self, req: P.RevealRequest) -> P.RevealResponse:
+        self.metrics["reveals"] += 1
+        com = self._proofs.get(req.request_id)
+        if com is None:
+            return P.RevealResponse(request_id=req.request_id, status="error",
+                                    error="unknown request")
+        if com.root != req.merkle_root:
+            return P.RevealResponse(request_id=req.request_id, status="error",
+                                    error="root mismatch")
+        leaves = []
+        for idx in req.leaf_indices:
+            if not 0 <= idx < len(com.leaves):
+                return P.RevealResponse(request_id=req.request_id, status="error",
+                                        error=f"bad index {idx}")
+            t, zb, eb, path = com.open(int(idx))
+            leaves.append((int(idx), t, zb, eb, [(h, bool(r)) for h, r in path]))
+        return P.RevealResponse(request_id=req.request_id, leaves=leaves)

@@ -1,0 +1,135 @@
+"""Cluster-free mock network (the `template/mock.py` analog).
+
+`build_mock_network` assembles N in-process miners + a validator + ledger +
+mock transport — multi-node behaviour without sockets or a chain (reference
+MockSubtensor/MockMetagraph/MockDendrite, `template/mock.py:10-121`). Unlike
+the reference's canned-response dendrite, these miners run the REAL generation
++ proof path through the REAL wire format; only the sockets are fake.
+
+Also provides adversarial miners for testing the Proof-of-Inference layer —
+the tamper models the Economics pillar analyses (m tampered steps,
+`Economics/core/security_analysis.py:46-60`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import numpy as np
+
+from ..pipelines.text2video import Pipeline, build_pipeline
+from ..utils.testing import perturb_zero_params
+from ..verify.merkle import MerkleCommitment
+from ..verify.proof import Keypair
+from .base import Registry
+from .ledger import Ledger
+from .miner import Miner, MinerConfig
+from .transport import MockTransport, WANProfile
+from .validator import Validator, ValidatorConfig
+
+
+class LazyMiner(Miner):
+    """Adversary: commits to fabricated eps for the last `tamper_steps` steps
+    (skipping UNet compute) — the cheating model of the economics sims. The
+    Merkle tree and signature stay valid; only exact re-execution catches it."""
+
+    def __init__(self, *args, tamper_steps: int = 1, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.tamper_steps = tamper_steps
+
+    def _generate_with_proof(self, req):
+        resp = super()._generate_with_proof(req)
+        com = self._proofs[req.request_id]
+        m = min(self.tamper_steps, len(com.timesteps))
+        rng = np.random.default_rng(0)
+        epss = com.epss.copy()
+        for i in range(len(epss) - m, len(epss)):
+            epss[i] = rng.normal(0, 1, epss[i].shape).astype(epss.dtype)
+        tampered = MerkleCommitment(com.timesteps, com.zs, epss)
+        self._proofs[req.request_id] = tampered
+        # re-sign over the tampered root so signature checks pass
+        from ..verify.proof import sign_proof
+
+        resp.merkle_root = tampered.root
+        resp.signature = sign_proof(self.keypair, req.challenge, req.seed,
+                                    resp.video, tampered.root)
+        return resp
+
+
+class WrongSeedMiner(Miner):
+    """Adversary: ignores the validator seed (e.g. replays a cached video)."""
+
+    def _generate_with_proof(self, req):
+        import dataclasses as dc
+
+        bad_req = dc.replace(req, seed=(req.seed + 1) & 0xFFFFFFFFFFFFFFFF)
+        resp = super()._generate_with_proof(bad_req)
+        resp.seed = req.seed  # echo the expected seed to try to pass
+        from ..verify.proof import sign_proof
+
+        resp.signature = sign_proof(self.keypair, req.challenge, req.seed,
+                                    resp.video, resp.merkle_root)
+        return resp
+
+
+@dataclasses.dataclass
+class MockNetwork:
+    registry: Registry
+    ledger: Ledger
+    transport: MockTransport
+    validator: Validator
+    miners: List[Miner]
+
+    async def run_request(self, request_id: str, prompt: str, user: str = "user",
+                          deposit: int = 20000):
+        """Full lifecycle: deposit+commit -> round -> rewards."""
+        from .ledger import prompt_commitment
+
+        self.ledger.mint(user, deposit)
+        self.ledger.deposit_and_commit(user, request_id,
+                                       prompt_commitment(prompt), deposit)
+        assert self.ledger.verify_prompt(request_id, prompt)
+        report = await self.validator.run_round(request_id, prompt)
+        return report
+
+
+def build_mock_network(
+    n_miners: int = 3,
+    adversaries: Optional[List[str]] = None,   # entries: "lazy" | "wrong_seed"
+    pipeline: Optional[Pipeline] = None,
+    wan: Optional[WANProfile] = None,
+    validator_config: Optional[ValidatorConfig] = None,
+    stake: int = 10_000,
+    seed: int = 0,
+) -> MockNetwork:
+    adversaries = adversaries or []
+    if pipeline is None:
+        pipeline = build_pipeline("zeroscope-tiny", seed=seed)
+        pipeline.params = perturb_zero_params(pipeline.params, seed=99)
+
+    registry = Registry()
+    ledger = Ledger()
+    transport = MockTransport(wan=wan, seed=seed)
+
+    miners: List[Miner] = []
+    for i in range(n_miners):
+        kp = Keypair.from_seed(f"miner-{i}".encode())
+        kind = adversaries[i] if i < len(adversaries) else "honest"
+        cls = {"honest": Miner, "lazy": LazyMiner,
+               "wrong_seed": WrongSeedMiner}[kind]
+        miner = cls(pipeline, kp, registry)
+        addr = f"mock://miner-{i}"
+        uid = miner.register(addr, stake=stake)
+        ledger.mint(f"miner-{uid}", stake)
+        ledger.stake(f"miner-{uid}", stake)
+        transport.serve(addr, miner.handle)
+        miners.append(miner)
+
+    vkp = Keypair.from_seed(b"validator-0")
+    vcfg = validator_config or ValidatorConfig()
+    validator = Validator(pipeline, vkp, registry, transport, ledger, vcfg)
+    validator.register("mock://validator", stake=stake * 10)
+
+    return MockNetwork(registry=registry, ledger=ledger, transport=transport,
+                       validator=validator, miners=miners)

@@ -1,0 +1,353 @@
+"""Validator neuron: challenge, dispatch, verify, score, reward, slash.
+
+Reference: `/root/reference/InferNet/neurons/validator.py` forward loop
+(:328-1051): pick a funded request, derive challenge C + seed =
+HMAC(hotkey, C) (:380-387), fan out to sampled miners (:405-435), then per
+response: echo checks (:497-507), signature (:569-587), consecutive-pair
+sampling (:641-684), leaf reveal round trip (:699-745), Merkle + per-step
+verification (:773-825), temporal coherence (:827-845), CLIP authenticity and
+quality scoring (:864-899), EMA score update + on-chain record/distribute
+(:1103-1216), trust decay and slashing (:1222-1270), results JSON for the REST
+API (:971-1035).
+
+TPU-native strengthening: the spot check re-executes the sampled UNet steps
+*exactly* (verify/spotcheck.py) instead of plausibility bounds, and the
+spot-check indices are bound to (merkle_root, challenge) so neither side can
+grind them (verify/proof.sample_spotcheck_pairs).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import dataclasses
+import hashlib
+import json
+import os
+import secrets
+import time
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..ops.scheduler import make_ddim_schedule
+from ..pipelines.text2video import Pipeline
+from ..scoring.clip_score import CLIPScorer
+from ..scoring.mdvqs import MDVQS, verify_video_authenticity
+from ..utils.video_io import decode_video
+from ..verify.merkle import leaf_hash, verify_merkle_proof
+from ..verify.proof import Keypair, derive_seed, sample_spotcheck_indices, verify_proof_signature
+from ..verify.spotcheck import StepEngine, compare_arrays, verify_revealed_step
+from . import protocol as P
+from .base import Neuron, Registry, ScoreBook
+from .ledger import Ledger
+
+
+@dataclasses.dataclass
+class ValidatorConfig:
+    sample_size: int = 3            # miners per request (neuron.sample_size)
+    num_checkpoints: int = 3        # k consecutive pairs (config num_checkpoints)
+    challenge_bytes: int = 32
+    audit_rate: float = 1.0         # fraction of responses deep-audited
+                                    # (economics alpha*=0.30 is the *secure
+                                    # minimum*; default audits everything)
+    atol: float = 5e-2              # cross-platform tolerance
+    ema_alpha: float = 0.1
+    kappa_limit: float = 0.1
+    trust_decay: float = 0.8        # gamma
+    slash_fraction: float = 0.1     # f*
+    timeout_s: float = 300.0        # dendrite timeout (validator.py:434)
+    results_dir: str = "generated_videos"
+    # request geometry defaults (config.py:89-119 PoC scale)
+    width: int = 32
+    height: int = 32
+    num_frames: int = 4
+    num_steps: int = 4
+    fps: int = 8
+    guidance_scale: float = 7.5
+    min_score_to_record: float = 0.0
+
+
+class Validator(Neuron):
+    def __init__(self, pipeline: Pipeline, keypair: Keypair, registry: Registry,
+                 transport, ledger: Optional[Ledger] = None,
+                 config: Optional[ValidatorConfig] = None,
+                 scorer: Optional[MDVQS] = None):
+        super().__init__(keypair=keypair, registry=registry, role="validator")
+        self.pipeline = pipeline
+        self.engine = StepEngine(pipeline)
+        self.transport = transport
+        self.ledger = ledger
+        self.config = config or ValidatorConfig()
+        self.scores = ScoreBook(alpha=self.config.ema_alpha,
+                                kappa_limit=self.config.kappa_limit)
+        self.scorer = scorer or MDVQS(CLIPScorer.build())
+        self.metrics = {"rounds": 0, "responses": 0, "failures": 0,
+                        "cheats_detected": 0, "reexec_steps": 0}
+        self._audit_rng = np.random.default_rng(0)
+
+    # -- round orchestration --
+
+    def make_challenge(self) -> Tuple[bytes, int]:
+        c = secrets.token_bytes(self.config.challenge_bytes)
+        seed = derive_seed(self.pubkey, c)
+        return c, seed
+
+    def build_request(self, request_id: str, prompt: str,
+                      challenge: bytes, seed: int) -> P.InferenceRequest:
+        cfg = self.config
+        return P.InferenceRequest(
+            request_id=request_id, prompt=prompt, width=cfg.width,
+            height=cfg.height, num_frames=cfg.num_frames, fps=cfg.fps,
+            num_steps=cfg.num_steps, guidance_scale=cfg.guidance_scale,
+            seed=seed, challenge=challenge, validator_pubkey=self.pubkey,
+        )
+
+    async def run_round(self, request_id: str, prompt: str) -> dict:
+        """One full verification round over sampled miners."""
+        cfg = self.config
+        self.metrics["rounds"] += 1
+        challenge, seed = self.make_challenge()
+        req = self.build_request(request_id, prompt, challenge, seed)
+
+        uids = self.registry.sample_miner_uids(cfg.sample_size, min_stake=1)
+        if not uids:
+            return {"request_id": request_id, "error": "no miners available"}
+
+        async def ask(uid):
+            info = self.registry.get(uid)
+            try:
+                resp = await self.transport.request(info.address, req,
+                                                    timeout_s=cfg.timeout_s)
+                return uid, resp
+            except Exception as e:
+                return uid, P.InferenceResponse(request_id=request_id,
+                                                status="error",
+                                                error=f"transport: {e}")
+
+        results = await asyncio.gather(*[ask(u) for u in uids])
+
+        per_miner = {}
+        rewards, reward_uids = [], []
+        for uid, resp in results:
+            self.metrics["responses"] += 1
+            detail = await self.verify_response(uid, req, resp)
+            per_miner[uid] = detail
+            rewards.append(detail["score"])
+            reward_uids.append(uid)
+            self.registry.update_trust(uid, detail.get("cheat", False),
+                                       decay=cfg.trust_decay)
+            if detail.get("cheat"):
+                self.metrics["cheats_detected"] += 1
+                if self.ledger is not None:
+                    info = self.registry.get(uid)
+                    self.ledger.slash_stake("validator", self._account(info),
+                                            cfg.slash_fraction)
+
+        self.scores.update_many(reward_uids, rewards)
+
+        if self.ledger is not None:
+            for uid, detail in per_miner.items():
+                if detail["score"] > cfg.min_score_to_record and not detail.get("cheat"):
+                    info = self.registry.get(uid)
+                    proof_bytes = bytes.fromhex(detail.get("merkle_root", "")) + \
+                        bytes.fromhex(detail.get("signature", ""))
+                    try:
+                        self.ledger.record_submission("validator", request_id,
+                                                      self._account(info),
+                                                      detail["score"], proof_bytes)
+                    except Exception as e:
+                        detail["ledger_error"] = str(e)
+            try:
+                self.ledger.distribute_rewards("validator", request_id)
+            except Exception:
+                pass
+
+        report = {
+            "request_id": request_id,
+            "prompt": prompt,
+            "challenge": challenge.hex(),
+            "seed": seed,
+            "miners": {str(u): d for u, d in per_miner.items()},
+            "weights": self.scores.weights(),
+            "timestamp": time.time(),
+        }
+        self._write_results(request_id, report, per_miner)
+        return report
+
+    def _account(self, info) -> str:
+        return f"miner-{info.uid}" if info else "miner-?"
+
+    # -- response verification --
+
+    async def verify_response(self, uid: int, req: P.InferenceRequest,
+                              resp: P.InferenceResponse) -> dict:
+        cfg = self.config
+        d: dict = {"score": 0.0, "checks": {}}
+
+        def fail(name, cheat=False, **extra):
+            d["checks"][name] = False
+            d["failed_check"] = name
+            d["cheat"] = cheat
+            d.update(extra)
+            self.metrics["failures"] += 1
+            return d
+
+        if resp.status != "ok":
+            return fail("status", error=resp.error)
+
+        # 1. echo integrity (validator.py:497-507)
+        if resp.challenge != req.challenge or int(resp.seed) != int(req.seed):
+            return fail("echo", cheat=True)
+        if int(resp.num_steps) != int(req.num_steps):
+            return fail("num_steps", cheat=True)
+        d["checks"]["echo"] = True
+
+        # 2. miner identity must match the registry entry
+        info = self.registry.get(uid)
+        if info is None or resp.miner_pubkey != info.pubkey:
+            return fail("identity", cheat=True)
+        d["checks"]["identity"] = True
+
+        # 3. committed timesteps must equal the canonical schedule
+        expected_ts = np.asarray(make_ddim_schedule(req.num_steps).timesteps)
+        if list(map(int, resp.timesteps)) != [int(t) for t in expected_ts]:
+            return fail("timesteps", cheat=True)
+        d["checks"]["timesteps"] = True
+
+        # 4. video digest + signature (proof.py:21-127)
+        if hashlib.sha256(resp.video).digest() != resp.video_sha256:
+            return fail("video_digest", cheat=True)
+        if not verify_proof_signature(resp.miner_pubkey, req.challenge,
+                                      req.seed, resp.video, resp.merkle_root,
+                                      resp.signature):
+            return fail("signature", cheat=True)
+        d["checks"]["signature"] = True
+        d["merkle_root"] = resp.merkle_root.hex()
+        d["signature"] = resp.signature.hex()
+
+        # 5. decode + authenticity (scoring.py:13-67)
+        try:
+            frames = decode_video(resp.video)
+        except Exception as e:
+            return fail("video_decode", error=str(e))
+        auth = verify_video_authenticity(frames)
+        d["authenticity"] = auth
+        if not auth["authentic"]:
+            return fail("authenticity", cheat=True)
+        d["checks"]["authenticity"] = True
+
+        # 6. commit-then-reveal spot check with exact re-execution
+        do_audit = bool(self._audit_rng.random() < cfg.audit_rate)
+        d["audited"] = do_audit
+        if do_audit:
+            ok = await self._spot_check(uid, req, resp, d)
+            if not ok:
+                return d  # fail() already populated by _spot_check
+
+        # 7. quality score (MD-VQS)
+        q = self.scorer.score(frames, req.prompt)
+        d["mdvqs"] = q
+        d["score"] = q["score"] * float(self.registry.get(uid).trust)
+        d["frames_shape"] = list(frames.shape)
+        d["video_bytes"] = len(resp.video)
+        d["gen_time_s"] = resp.gen_time_s
+        return d
+
+    async def _spot_check(self, uid: int, req: P.InferenceRequest,
+                          resp: P.InferenceResponse, d: dict) -> bool:
+        cfg = self.config
+
+        def fail(name, cheat=True, **extra):
+            d["checks"][name] = False
+            d["failed_check"] = name
+            d["cheat"] = cheat
+            d.update(extra)
+            self.metrics["failures"] += 1
+            return False
+
+        checks = sample_spotcheck_indices(resp.merkle_root, req.challenge,
+                                          req.num_steps, cfg.num_checkpoints)
+        # index 0 is always revealed: binds the trace to the seed-derived base
+        # noise, closing the replay/self-consistent-trace hole (a WrongSeed
+        # adversary passes re-execution but fails this).
+        indices = sorted({0} | set(checks) |
+                         {i + 1 for i in checks if i + 1 < req.num_steps})
+        d["spotcheck_indices"] = checks
+
+        info = self.registry.get(uid)
+        reveal_req = P.RevealRequest(request_id=req.request_id,
+                                     merkle_root=resp.merkle_root,
+                                     leaf_indices=indices,
+                                     validator_pubkey=self.pubkey)
+        try:
+            reveal = await self.transport.request(info.address, reveal_req,
+                                                  timeout_s=cfg.timeout_s)
+        except Exception as e:
+            return fail("reveal_transport", cheat=True, error=str(e))
+        if not isinstance(reveal, P.RevealResponse) or reveal.status != "ok":
+            return fail("reveal", error=getattr(reveal, "error", "bad reply"))
+
+        import ml_dtypes
+
+        np_dtype = np.dtype(ml_dtypes.bfloat16) if resp.latent_dtype == "bfloat16" \
+            else np.dtype(resp.latent_dtype)
+        shape = tuple(resp.latent_shape)
+
+        leaves: Dict[int, Tuple[int, np.ndarray, np.ndarray]] = {}
+        revealed = {int(l[0]): l for l in reveal.leaves}
+        if sorted(revealed) != indices:
+            return fail("reveal_indices")
+        for idx in indices:
+            _, t, zb, eb, path = revealed[idx]
+            try:
+                z = np.frombuffer(zb, np_dtype).reshape(shape)
+                eps = np.frombuffer(eb, np_dtype).reshape(shape)
+            except Exception as e:
+                return fail("leaf_decode", error=str(e))
+            # Merkle membership (proof.py:291-304)
+            lh = leaf_hash(int(t), z, eps)
+            path_t = [(bytes(h), bool(r)) for h, r in path]
+            if not verify_merkle_proof(lh, path_t, resp.merkle_root):
+                return fail("merkle_path", leaf=idx)
+            # committed timestep must match schedule position
+            if int(t) != int(resp.timesteps[idx]):
+                return fail("leaf_timestep", leaf=idx)
+            leaves[idx] = (int(t), z, eps)
+        d["checks"]["merkle"] = True
+
+        same_platform = (resp.platform == __import__("jax").default_backend())
+        d["same_platform"] = same_platform
+
+        # base-noise binding: if step 0 is revealed, z_0 must equal the
+        # seed-derived base latent (stronger than anything the reference has)
+        if 0 in leaves:
+            base = self.engine.base_latent(req.seed, req.num_frames,
+                                           req.height, req.width)
+            ok, err, bit = compare_arrays(leaves[0][1], base,
+                                          bitwise=same_platform, atol=cfg.atol)
+            if not ok:
+                return fail("base_noise", err=err)
+            d["checks"]["base_noise"] = True
+
+        for i in checks:
+            res = verify_revealed_step(
+                self.engine, req.prompt, req.negative_prompt,
+                leaves[i], i, req.num_steps, req.guidance_scale,
+                same_platform=same_platform, atol=cfg.atol,
+                next_leaf=leaves.get(i + 1),
+            )
+            self.metrics["reexec_steps"] += 1
+            if not res.passed:
+                return fail("reexecution", step=i, reason=res.reason,
+                            eps_err=res.max_eps_err, z_err=res.max_z_err)
+        d["checks"]["reexecution"] = True
+        d["reexec_bitwise"] = same_platform
+        return True
+
+    # -- results for the REST API (validator.py:971-1035) --
+
+    def _write_results(self, request_id: str, report: dict, per_miner: dict):
+        os.makedirs(self.config.results_dir, exist_ok=True)
+        path = os.path.join(self.config.results_dir, f"results_{request_id}.json")
+        with open(path, "w") as f:
+            json.dump(report, f, indent=2, default=str)

@@ -22,7 +22,14 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-_PALLAS_MIN_SEQ = 1024  # below this the XLA path is faster (kernel launch + tiling overhead)
+# Measured on v5e (S=2880, D=64, 320 bh): XLA fused attention 37 ms vs this
+# pallas kernel 57 ms — XLA wins at UNet spatial sizes, so auto only switches
+# to pallas for very long sequences (temporal CP regime) where XLA's fusion
+# gives out. Override per-call with impl= or globally via DVDX_ATTN_IMPL.
+import os as _os
+
+_PALLAS_MIN_SEQ = int(_os.environ.get("DVDX_ATTN_PALLAS_MIN_SEQ", 8192))
+_FORCED_IMPL = _os.environ.get("DVDX_ATTN_IMPL", "")
 
 
 def _xla_attention(q, k, v, scale: float) -> jax.Array:
@@ -49,6 +56,8 @@ def multi_head_attention(
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    if impl == "auto" and _FORCED_IMPL:
+        impl = _FORCED_IMPL
     if impl == "auto":
         use_pallas = (
             q.shape[1] >= _PALLAS_MIN_SEQ

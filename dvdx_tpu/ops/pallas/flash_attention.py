@@ -1,0 +1,124 @@
+"""Fused flash attention (non-causal, self-attention) for TPU.
+
+The UNet3D's spatial self-attention is the FLOP-dominant op of the denoise hot
+loop (reference loop `/root/reference/InferNet/neurons/miner.py:571-589`; at
+576x320 the per-frame token count is 72*40 = 2880). This kernel computes
+softmax(QK^T * scale) V blockwise with the online-softmax recurrence so the
+(S x S) logits matrix never hits HBM — the standard flash schedule, laid out
+for the MXU: all matmuls f32-accumulated, block shapes multiples of (16, 128)
+bf16 tiles.
+
+Grid: (batch*heads, q_blocks, k_blocks); the k dimension is innermost and
+sequential on TPU, so running max/denominator/accumulator live in VMEM scratch
+across k iterations and the output is finalised on the last k block.
+
+Sequence lengths that don't divide the block size are zero-padded by the
+wrapper; padded key columns are masked to -inf before the softmax.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
+                  scale: float, seq_len: int, block_k: int):
+    i_k = pl.program_id(2)
+    n_k = pl.num_programs(2)
+
+    @pl.when(i_k == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]  # (Bq, D)
+    k = k_ref[0]  # (Bk, D)
+    v = v_ref[0]  # (Bk, D)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (Bq, Bk) f32
+
+    # mask padded key columns
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i_k * block_k
+    s = jnp.where(col < seq_len, s, NEG_INF)
+
+    m_prev = m_scr[:, 0:1]                      # (Bq, 1)
+    m_cur = jnp.max(s, axis=1, keepdims=True)   # (Bq, 1)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)             # (Bq, 1)
+    p = jnp.exp(s - m_new)                      # (Bq, Bk) f32
+
+    l_new = l_scr[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(i_k == n_k - 1)
+    def _done():
+        o_ref[0] = (acc_scr[:] / l_scr[:, 0:1]).astype(o_ref.dtype)
+
+
+def _flash_bh(q, k, v, scale: float, seq_len: int, block_q: int, block_k: int,
+              interpret: bool = False):
+    """q,k,v: (BH, S_pad, D) -> (BH, S_pad, D)."""
+    bh, s_pad, d = q.shape
+    n_q = s_pad // block_q
+    n_k = s_pad // block_k
+    kernel = functools.partial(_flash_kernel, scale=scale, seq_len=seq_len,
+                               block_k=block_k)
+    grid = (bh, n_q, n_k)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, iq, ik: (b, iq, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, iq, ik: (b, ik, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, iq, ik: (b, ik, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, iq, ik: (b, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, s_pad, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v)
+
+
+def flash_attention(q, k, v, *, scale: float | None = None,
+                    block_q: int = 512, block_k: int = 512,
+                    interpret: bool = False):
+    """Self-attention over (B, S, H, D) — drop-in for the XLA path in
+    ops.attention. Pads S to a block multiple; masks the key tail."""
+    b, s, h, d = q.shape
+    if scale is None:
+        scale = d**-0.5
+    block_q = min(block_q, max(128, 1 << (s - 1).bit_length()))
+    block_k = min(block_k, block_q)
+
+    pad = (-s) % block_q
+    s_pad = s + pad
+
+    def to_bh(x):
+        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, s, d)
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        return x
+
+    o = _flash_bh(to_bh(q), to_bh(k), to_bh(v), float(scale), s, block_q,
+                  block_k, interpret=interpret)
+    o = o[:, :s].reshape(b, h, s, d)
+    return jnp.transpose(o, (0, 2, 1, 3))

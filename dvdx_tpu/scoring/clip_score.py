@@ -1,0 +1,92 @@
+"""CLIP prompt-fidelity scorer.
+
+Reference: `CLIPScorer.compute_quality_score` — mean frame-wise cosine between
+the CLIP text embedding and each frame's CLIP image embedding, mapped to [0,1]
+(`/root/reference/InferNet/template/validator/scoring.py:69-151`; paper §3.3.3).
+
+TPU-native: both towers are jitted Flax modules; all frames are scored in one
+batched forward (the reference loops frames through PIL + processor on CPU).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.clip_vision import CLIPVisionEncoder, VisionConfig, tiny_vision_config
+from ..models.text_encoder import (
+    CLIPTextEncoder,
+    TextEncoderConfig,
+    tiny_text_config,
+    tokenize_batch,
+)
+from ..utils.init import fast_init
+
+
+@dataclasses.dataclass
+class CLIPScorer:
+    """Shared-projection-space text/image scorer."""
+
+    vision_cfg: VisionConfig
+    text_cfg: TextEncoderConfig
+    params: Any
+    _jitted: Any = None
+
+    @classmethod
+    def build(cls, vision_cfg: VisionConfig | None = None,
+              text_cfg: TextEncoderConfig | None = None, seed: int = 1234) -> "CLIPScorer":
+        vision_cfg = vision_cfg or tiny_vision_config()
+        text_cfg = text_cfg or tiny_text_config()
+        vis = CLIPVisionEncoder(vision_cfg)
+        txt = CLIPTextEncoder(text_cfg)
+        params = {
+            "vision": fast_init(vis, seed,
+                                jnp.zeros((1, vision_cfg.image_size, vision_cfg.image_size, 3))),
+            "text": fast_init(txt, seed + 1, jnp.zeros((1, text_cfg.max_length), jnp.int32)),
+            # text pooled -> shared projection space
+            "text_proj": jnp.asarray(
+                np.random.default_rng(seed + 2).normal(
+                    0, text_cfg.hidden_size ** -0.5,
+                    (text_cfg.hidden_size, vision_cfg.projection_dim),
+                ).astype(np.float32)
+            ),
+        }
+        return cls(vision_cfg=vision_cfg, text_cfg=text_cfg, params=params)
+
+    def _fn(self):
+        if self._jitted is None:
+            vis = CLIPVisionEncoder(self.vision_cfg)
+            txt = CLIPTextEncoder(self.text_cfg)
+            size = self.vision_cfg.image_size
+
+            def score(params, frames, token_ids):
+                # frames (F, H, W, 3) f32 in [-1, 1]
+                f = frames.shape[0]
+                frames = jax.image.resize(frames, (f, size, size, 3), "bilinear")
+                img_emb = vis.apply(params["vision"], frames)          # (F, D)
+                _, pooled = txt.apply(params["text"], token_ids)        # (1, Ht)
+                txt_emb = pooled @ params["text_proj"]                  # (1, D)
+                img_emb = img_emb / (jnp.linalg.norm(img_emb, axis=-1, keepdims=True) + 1e-8)
+                txt_emb = txt_emb / (jnp.linalg.norm(txt_emb, axis=-1, keepdims=True) + 1e-8)
+                cos = jnp.sum(img_emb * txt_emb, axis=-1)              # (F,)
+                return jnp.mean((cos + 1.0) / 2.0), cos
+
+            self._jitted = jax.jit(score)
+        return self._jitted
+
+    def score_video(self, frames_uint8: np.ndarray, prompt: str) -> float:
+        """frames (F, H, W, 3) uint8 -> scalar in [0, 1]."""
+        frames = jnp.asarray(frames_uint8, jnp.float32) / 127.5 - 1.0
+        ids = tokenize_batch([prompt], self.text_cfg.vocab_size, self.text_cfg.max_length)
+        mean, _ = self._fn()(self.params, frames, jnp.asarray(ids))
+        return float(mean)
+
+    def frame_scores(self, frames_uint8: np.ndarray, prompt: str) -> np.ndarray:
+        frames = jnp.asarray(frames_uint8, jnp.float32) / 127.5 - 1.0
+        ids = tokenize_batch([prompt], self.text_cfg.vocab_size, self.text_cfg.max_length)
+        _, cos = self._fn()(self.params, frames, jnp.asarray(ids))
+        return np.asarray(cos)

@@ -91,33 +91,47 @@ def verify_proof_signature(public_bytes: bytes, challenge: bytes, seed: int,
     return verify_signature(public_bytes, msg, signature)
 
 
+def sample_spotcheck_indices(
+    merkle_root: bytes,
+    challenge: bytes,
+    num_steps: int,
+    num_checks: int = 3,
+) -> List[int]:
+    """Deterministic commit-then-reveal sampler: the indices depend on the
+    *committed* root + the validator challenge, so the miner cannot grind them
+    before committing and the validator cannot be accused of targeting.
+
+    Returns `num_checks` distinct step indices in [0, num_steps). Every index
+    i gets its eps_i re-executed from the revealed z_i; when leaf i+1 exists
+    it is also revealed so z_{i+1} re-derivation is checked — the
+    consecutive-pair temporal coherence of the reference (`validator.py:641-684`,
+    `proof.py:397-416`) with uniform per-step detection probability k/T
+    (matching the hypergeometric p_detect of the economics model,
+    `Economics/core/security_analysis.py:27-29`).
+    """
+    if num_steps < 1:
+        return []
+    num_checks = min(num_checks, num_steps)
+    picked: List[int] = []
+    counter = 0
+    while len(picked) < num_checks:
+        digest = hashlib.sha256(merkle_root + challenge + counter.to_bytes(4, "big")).digest()
+        idx = int.from_bytes(digest[:8], "big") % num_steps
+        if idx not in picked:
+            picked.append(idx)
+        counter += 1
+    return sorted(picked)
+
+
 def sample_spotcheck_pairs(
     merkle_root: bytes,
     challenge: bytes,
     num_steps: int,
     num_checks: int = 3,
 ) -> List[Tuple[int, int]]:
-    """Deterministic commit-then-reveal sampler: the indices depend on the
-    *committed* root + the validator challenge, so the miner cannot grind them
-    before committing and the validator cannot be accused of targeting.
-
-    Returns `num_checks` (i, i+1) consecutive step-index pairs (reference
-    samples consecutive timestep pairs at `validator.py:641-684`; its sampler
-    `proof.py:397-416` uses a plain RNG — binding to root‖challenge is the
-    strengthening our bitwise-deterministic re-execution allows).
-    """
-    if num_steps < 2:
-        return []
-    num_checks = min(num_checks, num_steps - 1)
-    picked: List[int] = []
-    counter = 0
-    while len(picked) < num_checks:
-        digest = hashlib.sha256(merkle_root + challenge + counter.to_bytes(4, "big")).digest()
-        idx = int.from_bytes(digest[:8], "big") % (num_steps - 1)
-        if idx not in picked:
-            picked.append(idx)
-        counter += 1
-    return [(i, i + 1) for i in sorted(picked)]
+    """(i, min(i+1, T-1)) pair view of sample_spotcheck_indices."""
+    idxs = sample_spotcheck_indices(merkle_root, challenge, num_steps, num_checks)
+    return [(i, i + 1) if i + 1 < num_steps else (i, i) for i in idxs]
 
 
 @dataclasses.dataclass

@@ -1,0 +1,214 @@
+"""Exact spot-check re-execution (the TPU-native Proof-of-Inference core).
+
+The reference validator cannot re-run the miner's UNet step faithfully, so its
+`run_unet_step` falls back to *plausibility* bounds — finite + |x|<10 after a
+scheduler step (`/root/reference/InferNet/template/validator/proof.py:307-392`)
+— plus a scheduler-only temporal-coherence re-derivation with loose tolerances
+allclose(rtol=1, atol=1) (`proof.py:419-627`).
+
+Here verification is strictly stronger at the same <10% cost (BASELINE.md):
+miner and validator execute the SAME jitted step program (this module's
+StepEngine), so a revealed (z_i, eps_i, z_{i+1}) triple is checked by
+*bitwise* re-execution:
+
+  eps_i'   = UNet_cfg(z_i, t_i, text(prompt))      must equal eps_i exactly
+  z_{i+1}' = ddim_step(z_i, eps_i)                 must equal z_{i+1} exactly
+
+Bitwise equality holds because both sides run one identical XLA program on the
+same platform (fixed shapes, fixed dot precision, no autotune nondeterminism).
+Across differing platforms (miner on TPU, validator on CPU) the check degrades
+to a tight tolerance — the response carries a platform tag so the validator
+knows which regime it is in.
+
+The miner's PoI-grade generation (`generate_recorded`) drives the SAME step
+callable in a host loop instead of one fused lax.scan — per-step dispatch
+overhead (~ms) buys program-identity between prover and verifier.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.text_encoder import tokenize_batch
+from ..ops import rng as rng_ops
+from ..ops.scheduler import make_ddim_schedule
+from ..pipelines.text2video import Pipeline, cfg_denoise_step
+from ..models.vae import decode_frames_tiled
+
+
+class StepEngine:
+    """Shared prover/verifier step program for a Pipeline."""
+
+    def __init__(self, pipeline: Pipeline):
+        self.pipe = pipeline
+        self._encode = None
+        self._steps: Dict[tuple, callable] = {}
+        self._decode = None
+        self._noise: Dict[tuple, callable] = {}
+
+    # -- jitted pieces --
+
+    def encode_fn(self):
+        if self._encode is None:
+            text_apply = self.pipe.text_encoder.apply
+
+            def enc(params, token_ids):
+                hidden, _ = text_apply(params["text"], token_ids)
+                return hidden[0:1], hidden[1:2]  # (uncond, cond)
+
+            self._encode = jax.jit(enc)
+        return self._encode
+
+    def step_fn(self, num_steps: int, guidance_scale: float):
+        key = (num_steps, float(guidance_scale))
+        if key not in self._steps:
+            sched = make_ddim_schedule(num_steps)
+            unet_apply = self.pipe.unet.apply
+
+            def step(params, z, step_index, cond, uncond):
+                z_prev, eps = cfg_denoise_step(
+                    unet_apply, params["unet"], sched, z, step_index, cond,
+                    uncond, guidance_scale,
+                )
+                return z_prev, eps
+
+            self._steps[key] = (jax.jit(step), sched)
+        return self._steps[key]
+
+    def decode_fn(self):
+        if self._decode is None:
+            vae_apply = self.pipe.vae_decoder.apply
+
+            def dec(params, z):
+                return decode_frames_tiled(vae_apply, params["vae_dec"],
+                                           z.astype(jnp.float32))
+
+            self._decode = jax.jit(dec)
+        return self._decode
+
+    def noise_fn(self, num_frames: int, lh: int, lw: int, c: int):
+        key = (num_frames, lh, lw, c)
+        if key not in self._noise:
+            self._noise[key] = jax.jit(
+                lambda k: rng_ops.video_noise(k, num_frames, (lh, lw, c), jnp.float32)
+            )
+        return self._noise[key]
+
+    # -- prover path --
+
+    def generate_recorded(self, prompt: str, *, negative_prompt: str = "",
+                          seed: int = 0, num_frames: int, height: int,
+                          width: int, num_steps: int, guidance_scale: float,
+                          latent_dtype=jnp.bfloat16):
+        """PoI-grade generation: same step program as verification.
+        Returns (video_f32 (F,H,W,3), zs, epss, timesteps) with zs/epss as
+        numpy arrays of shape (N, F, h, w, C) in latent_dtype."""
+        spec = self.pipe.spec
+        ds = spec.vae.downscale
+        lh, lw = height // ds, width // ds
+        c = spec.unet.in_channels
+        params = self.pipe.params
+
+        ids = tokenize_batch([negative_prompt, prompt], spec.text.vocab_size,
+                             spec.text.max_length)
+        uncond, cond = self.encode_fn()(params, jnp.asarray(ids))
+        step, sched = self.step_fn(num_steps, guidance_scale)
+
+        z = self.noise_fn(num_frames, lh, lw, c)(rng_ops.base_key(seed))
+        z = z[None].astype(latent_dtype)
+        zs, epss = [], []
+        for i in range(num_steps):
+            z_next, eps = step(params, z, jnp.int32(i), cond, uncond)
+            zs.append(np.asarray(z[0]))
+            epss.append(np.asarray(eps[0]))
+            z = z_next
+        frames = self.decode_fn()(params, z[0])
+        ts = np.asarray(sched.timesteps)
+        return np.asarray(frames), np.stack(zs), np.stack(epss), ts
+
+    # -- verifier path --
+
+    def reexecute_pair(self, prompt: str, negative_prompt: str,
+                       z_i: np.ndarray, step_index: int, num_steps: int,
+                       guidance_scale: float) -> Tuple[np.ndarray, np.ndarray]:
+        """-> (eps_i', z_{i+1}') recomputed from z_i under the step program."""
+        params = self.pipe.params
+        spec = self.pipe.spec
+        ids = tokenize_batch([negative_prompt, prompt], spec.text.vocab_size,
+                             spec.text.max_length)
+        uncond, cond = self.encode_fn()(params, jnp.asarray(ids))
+        step, _ = self.step_fn(num_steps, guidance_scale)
+        z = jnp.asarray(z_i)[None]
+        z_next, eps = step(params, z, jnp.int32(step_index), cond, uncond)
+        return np.asarray(eps[0]), np.asarray(z_next[0])
+
+    def base_latent(self, seed: int, num_frames: int, height: int, width: int,
+                    latent_dtype=jnp.bfloat16) -> np.ndarray:
+        """Re-derive the miner's base noise from the 64-bit seed."""
+        spec = self.pipe.spec
+        ds = spec.vae.downscale
+        noise = self.noise_fn(num_frames, height // ds, width // ds,
+                              spec.unet.in_channels)(rng_ops.base_key(seed))
+        return np.asarray(noise.astype(latent_dtype))
+
+
+@dataclasses.dataclass
+class CheckResult:
+    passed: bool
+    reason: str = ""
+    max_eps_err: float = 0.0
+    max_z_err: float = 0.0
+    bitwise: bool = False
+
+
+def compare_arrays(got: np.ndarray, expected: np.ndarray, *,
+                   bitwise: bool, atol: float) -> Tuple[bool, float, bool]:
+    """-> (ok, max_abs_err, was_bitwise)."""
+    if got.shape != expected.shape:
+        return False, float("inf"), False
+    exact = got.tobytes() == expected.tobytes()
+    if exact:
+        return True, 0.0, True
+    if bitwise:
+        a = np.asarray(got, np.float32)
+        b = np.asarray(expected, np.float32)
+        return False, float(np.max(np.abs(a - b))), False
+    a = np.asarray(got, np.float32)
+    b = np.asarray(expected, np.float32)
+    err = float(np.max(np.abs(a - b)))
+    return err <= atol, err, False
+
+
+def verify_revealed_step(engine: StepEngine, prompt: str, negative_prompt: str,
+                         leaf_i: Tuple[int, np.ndarray, np.ndarray],
+                         step_index: int, num_steps: int,
+                         guidance_scale: float, *, same_platform: bool,
+                         next_leaf: Optional[Tuple[int, np.ndarray, np.ndarray]] = None,
+                         atol: float = 5e-2) -> CheckResult:
+    """Full re-execution check of sampled step i.
+
+    leaf_i: (timestep, z_i, eps_i) with step_index the loop index. Always
+    checks eps_i by UNet re-execution; when next_leaf (step i+1) is given,
+    also checks the z_{i+1} re-derivation (temporal coherence, exact).
+    """
+    t_i, z_i, eps_i = leaf_i
+    eps_re, z_next_re = engine.reexecute_pair(prompt, negative_prompt, z_i,
+                                              step_index, num_steps,
+                                              guidance_scale)
+    ok_e, err_e, bit_e = compare_arrays(eps_re, np.asarray(eps_i),
+                                        bitwise=same_platform, atol=atol)
+    if not ok_e:
+        return CheckResult(False, "eps re-execution mismatch", err_e, 0.0, bit_e)
+    if next_leaf is None:
+        return CheckResult(True, "ok", err_e, 0.0, bit_e)
+    _t_j, z_j, _eps_j = next_leaf
+    ok_z, err_z, bit_z = compare_arrays(z_next_re, np.asarray(z_j),
+                                        bitwise=same_platform, atol=atol)
+    if not ok_z:
+        return CheckResult(False, "z_{t+1} re-derivation mismatch", err_e, err_z, bit_z)
+    return CheckResult(True, "ok", err_e, err_z, bit_e and bit_z)

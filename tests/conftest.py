@@ -28,6 +28,16 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 import pytest  # noqa: E402
 
 
+@pytest.fixture(scope="module")
+def tiny_pipeline_module():
+    from dvdx_tpu.pipelines.text2video import build_pipeline
+    from dvdx_tpu.utils.testing import perturb_zero_params
+
+    pipe = build_pipeline("zeroscope-tiny", seed=0)
+    pipe.params = perturb_zero_params(pipe.params, seed=99)
+    return pipe
+
+
 @pytest.fixture(scope="session")
 def tiny_pipeline():
     from dvdx_tpu.pipelines.text2video import build_pipeline

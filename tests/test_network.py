@@ -1,0 +1,155 @@
+"""End-to-end mock network: honest round, adversaries caught, ledger flow.
+
+The reference's integration tests monkeypatch every __init__ and use canned
+responses (`InferNet/tests/test_pipeline.py:69-191`); here the full miner +
+validator logic runs over the real wire format, only sockets are mocked
+(SURVEY.md §4 'implication for the new build').
+"""
+
+import asyncio
+
+import numpy as np
+import pytest
+
+from dvdx_tpu.network import protocol as P
+from dvdx_tpu.network.ledger import Ledger, LedgerError, prompt_commitment
+from dvdx_tpu.network.mock import build_mock_network
+from dvdx_tpu.network.validator import ValidatorConfig
+
+
+def _run(coro):
+    return asyncio.new_event_loop().run_until_complete(coro)
+
+
+# --- protocol ----------------------------------------------------------------
+
+
+def test_protocol_roundtrip():
+    req = P.InferenceRequest(request_id="r1", prompt="hello", seed=42,
+                             challenge=b"\x07" * 32, num_steps=4)
+    back = P.from_wire(P.to_wire(req))
+    assert back == req
+
+
+def test_protocol_rejects_garbage():
+    with pytest.raises(ValueError):
+        P.from_wire(b"garbage")
+    with pytest.raises(ValueError):
+        P.from_wire(P.to_wire(P.Ping())[:-1])
+
+
+def test_protocol_coerces_and_validates():
+    req = P.InferenceRequest(request_id="r", prompt="p", width="32", height=32,
+                             num_frames=2, num_steps=2, seed="7")
+    req.validate()
+    assert req.width == 32 and req.seed == 7
+    with pytest.raises(ValueError):
+        P.InferenceRequest(request_id="r", prompt="p", num_steps=0).validate()
+
+
+# --- ledger ------------------------------------------------------------------
+
+
+def test_ledger_full_lifecycle():
+    led = Ledger()
+    led.mint("user", 1000)
+    led.mint("miner-0", 500)
+    led.stake("miner-0", 500)
+    led.deposit_and_commit("user", "r1", prompt_commitment("hi"), 1000)
+    assert led.balance("user") == 0
+    assert led.verify_prompt("r1", "hi")
+    assert not led.verify_prompt("r1", "other")
+    led.record_submission("validator", "r1", "miner-0", 0.8, b"proof")
+    led.distribute_rewards("validator", "r1")
+    assert led.claim("miner-0") == 700  # miner_split=0.7
+    assert led.claim("validator") == 300
+    assert led.requests["r1"].status == "distributed"
+
+
+def test_ledger_access_control_and_refund():
+    led = Ledger()
+    led.mint("user", 100)
+    led.deposit_and_commit("user", "r1", b"\x00" * 32, 100)
+    with pytest.raises(LedgerError):
+        led.record_submission("not-validator", "r1", "m", 1.0, b"")
+    with pytest.raises(LedgerError):
+        led.record_submission("validator", "r1", "unstaked-miner", 1.0, b"")
+    led.refund_unused("validator", "r1")
+    assert led.balance("user") == 100
+    with pytest.raises(LedgerError):
+        led.refund_unused("validator", "r1")  # double refund
+
+
+def test_ledger_slash():
+    led = Ledger()
+    led.mint("m", 1000)
+    led.stake("m", 1000)
+    cut = led.slash_stake("validator", "m")
+    assert cut == 100 and led.stake_of("m") == 900
+
+
+# --- full network rounds -----------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def honest_net(tiny_pipeline_module):
+    cfg = ValidatorConfig(sample_size=3, num_checkpoints=2, num_frames=2,
+                          width=32, height=32, num_steps=3)
+    return build_mock_network(n_miners=3, pipeline=tiny_pipeline_module,
+                              validator_config=cfg)
+
+
+def test_honest_round_scores_all_miners(honest_net):
+    report = _run(honest_net.run_request("req-1", "a blue cube spinning"))
+    assert len(report["miners"]) == 3
+    for uid, d in report["miners"].items():
+        assert d["checks"]["signature"], d
+        assert d["checks"]["merkle"], d
+        assert d["checks"]["reexecution"], d
+        assert d.get("reexec_bitwise") is True  # same platform -> exact
+        assert d["score"] > 0.0
+        assert not d.get("cheat", False)
+    # rewards distributed on the ledger
+    assert honest_net.ledger.requests["req-1"].status == "distributed"
+
+
+def test_lazy_miner_detected_and_slashed(tiny_pipeline_module):
+    # num_checkpoints == num_steps -> every step audited, detection certain
+    cfg = ValidatorConfig(sample_size=2, num_checkpoints=3, num_frames=2,
+                          width=32, height=32, num_steps=3)
+    net = build_mock_network(n_miners=2, adversaries=["lazy", "honest"],
+                            pipeline=tiny_pipeline_module, validator_config=cfg)
+    stake_before = net.ledger.stake_of("miner-0")
+    report = _run(net.run_request("req-2", "a red sphere"))
+    lazy = report["miners"]["0"]
+    honest = report["miners"]["1"]
+    assert lazy.get("cheat") is True
+    assert lazy["failed_check"] == "reexecution"
+    assert lazy["score"] == 0.0
+    assert honest["score"] > 0.0
+    # stake slashed by f*=0.10
+    assert net.ledger.stake_of("miner-0") == int(stake_before * 0.9)
+
+
+def test_wrong_seed_miner_caught_by_base_noise(tiny_pipeline_module):
+    cfg = ValidatorConfig(sample_size=1, num_checkpoints=1, num_frames=2,
+                          width=32, height=32, num_steps=3)
+    net = build_mock_network(n_miners=1, adversaries=["wrong_seed"],
+                            pipeline=tiny_pipeline_module, validator_config=cfg)
+    report = _run(net.run_request("req-3", "a green pyramid"))
+    d = report["miners"]["0"]
+    assert d.get("cheat") is True
+    assert d["failed_check"] == "base_noise"
+
+
+def test_wan_emulation_records_delay(tiny_pipeline_module):
+    from dvdx_tpu.network.transport import WAN_PRESETS
+
+    cfg = ValidatorConfig(sample_size=1, num_checkpoints=1, num_frames=2,
+                          width=32, height=32, num_steps=2)
+    net = build_mock_network(n_miners=1, pipeline=tiny_pipeline_module,
+                            validator_config=cfg, wan=WAN_PRESETS["wifi"])
+    report = _run(net.run_request("req-4", "slow network"))
+    assert report["miners"]["0"]["score"] > 0.0
+    assert net.transport.stats["emulated_delay_s"] > 0.0
+    assert net.transport.stats["bytes_sent"] > 0
