@@ -1,0 +1,88 @@
+"""Economics pillar: detection math, EV sweep properties, deposit bounds."""
+
+import numpy as np
+import pytest
+
+from dvdx_tpu.economics.cost import d_min_grid, summarize
+from dvdx_tpu.economics.params import DEFAULT, EconParams
+from dvdx_tpu.economics.security import (
+    default_grid,
+    kappa_clip,
+    p_detect,
+    secure_region,
+    simulate_ev,
+)
+
+
+def test_p_detect_hypergeometric_golden():
+    # closed form: T=30, m=1, k=9 -> 1 - C(29,9)/C(30,9) = 1 - 21/30 = 0.3
+    assert abs(p_detect(30, 1, 9) - 0.3) < 1e-9
+    # all steps tampered -> certain detection (any audit)
+    assert p_detect(30, 30, 1) == 1.0
+    # no audit -> never detected
+    assert p_detect(30, 5, 0) == 0.0
+    # monotone in both m and k
+    ms = p_detect(30, np.arange(1, 31), 5)
+    assert np.all(np.diff(ms) >= -1e-12)
+    ks = p_detect(30, 5, np.arange(0, 31))
+    assert np.all(np.diff(ks) >= -1e-12)
+
+
+def test_kappa_clip_limits_and_normalises():
+    w = kappa_clip(np.array([[0.9, 0.05, 0.05]]), limit=0.5)
+    assert abs(w.sum() - 1.0) < 1e-9
+    assert w.max() <= 0.5 + 1e-9
+
+
+@pytest.fixture(scope="module")
+def sweep():
+    g, a, f = default_grid()
+    return simulate_ev(DEFAULT, gamma=g, alpha=a, f=f, n_paths=64, seed=0)
+
+
+def test_reference_operating_point_is_secure(sweep):
+    """alpha*=0.30, f*=0.10, gamma=0.8 must have EV_cheat < EV_honest —
+    the reference's headline economic result (README.md:18, config.py:64-68)."""
+    g, a, f = sweep["gamma"], sweep["alpha"], sweep["f"]
+    gi = int(np.argmin(np.abs(g - 0.8)))
+    ai = int(np.argmin(np.abs(a - 0.30)))
+    fi = int(np.argmin(np.abs(f - 0.10)))
+    assert sweep["delta"][gi, ai, fi] < 0
+
+
+def test_zero_audit_zero_slash_favours_cheating(sweep):
+    """With no slashing and minimal audits, skipping compute must pay."""
+    gi = int(np.argmin(np.abs(sweep["gamma"] - 1.0)))  # no trust decay
+    ai = 0   # lowest audit rate in grid (0.1)
+    fi = 0   # zero slash
+    assert sweep["delta"][gi, ai, fi] > 0
+
+
+def test_delta_monotone_in_audit_and_slash(sweep):
+    """More audits / bigger slash should never make cheating MORE attractive
+    (on average over the grid)."""
+    d = sweep["delta"]
+    assert d[:, -1, :].mean() <= d[:, 0, :].mean()
+    assert d[:, :, -1].mean() <= d[:, :, 0].mean()
+
+
+def test_dmin_bounds(sweep):
+    out = d_min_grid(DEFAULT, res=sweep)
+    s = summarize(out)
+    assert 0 < s["secure_fraction"] <= 1.0
+    assert np.isfinite(s["min_d_usd"])
+    # insecure cells are excluded (inf)
+    assert np.isinf(out["d_min_usd"][~out["secure"]]).all()
+    # deposits cover at least the miner's honest compute
+    honest_cost_tao = DEFAULT.num_steps * DEFAULT.tao_per_step
+    finite = np.isfinite(out["d_min_tao"])
+    assert (out["d_min_tao"][finite] >= honest_cost_tao).all()
+
+
+def test_sweep_deterministic():
+    g = np.array([0.8])
+    a = np.array([0.3])
+    f = np.array([0.1])
+    r1 = simulate_ev(DEFAULT, gamma=g, alpha=a, f=f, n_paths=32, seed=7)
+    r2 = simulate_ev(DEFAULT, gamma=g, alpha=a, f=f, n_paths=32, seed=7)
+    np.testing.assert_array_equal(r1["ev_cheat"], r2["ev_cheat"])
