@@ -1,0 +1,274 @@
+"""Strategy benchmark runner CLI — the analog of the reference's four
+`torchrun strategies/*.py` scripts collapsed into one entry point.
+
+Reference surface being matched: CLI flags (`--mode`, chunking knobs,
+`--context_weight`, `--emu_*` — `fsdp_chunked_coherent.py:292-305`,
+`chunk_only.py:224-244`) and the per-run metrics CSV row
+(`fsdp.py:225-262`: latency_s, throughput_fps, peak/end VRAM, network bytes,
+gather/reduce times, boundary temporal metrics).
+
+TPU differences:
+* one jitted program per strategy; "world size" is the mesh shape;
+* memory from device memory_stats (pynvml analog);
+* communication volume is computed analytically from the sharding (the
+  collectives ride ICI inside XLA; the reference measures pickled TCP bytes);
+* WAN emulation applies the reference's bandwidth/RTT model to that comm
+  volume at the host layer (`--emu wifi|ethernet` or explicit knobs) — it
+  models "consumer GPUs over WAN" semantics on homogeneous TPU hardware
+  (SURVEY.md §7 hard part d).
+
+Usage:
+  python -m dvdx_tpu.parallel.runner --mode hybrid_ctx --mesh 1,2,4 \
+      --model zeroscope-tiny --frames 16 --steps 4 --emu wifi --csv out.csv
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import os
+import random
+import time
+from typing import Optional
+
+import numpy as np
+
+CSV_COLUMNS = [
+    "timestamp", "mode", "world_size", "mesh", "model", "width", "height",
+    "frames", "steps", "num_chunks", "overlap", "context_weight", "emu",
+    "latency_s", "compute_s", "throughput_fps", "peak_mem_mb", "end_mem_mb",
+    "param_mb_per_device", "network_bytes", "net_gather_s", "net_reduce_s",
+    "temp_instab", "flow_err",
+]
+
+
+def estimate_comm_bytes(strategy, mesh, plan, param_bytes: int, steps: int,
+                        latent_bytes_per_chunk: int) -> dict:
+    """Analytic per-run communication volume by collective type."""
+    model = mesh.shape["model"]
+    seq = mesh.shape["seq"]
+    gather = 0
+    reduce_ = 0
+    if strategy.shard_params and model > 1:
+        # ZeRO-3: each step all-gathers every param once (CFG batched in one
+        # call); each device receives (model-1)/model of all params
+        gather += int(param_bytes * (model - 1) / model) * steps
+    if (strategy.chunked or strategy.exact_cp) and seq > 1:
+        # blend/stitch all-gather of chunk results, once per run
+        n = plan.num_chunks if plan is not None else seq
+        gather += int(latent_bytes_per_chunk * n * (seq - 1) / seq)
+    if strategy.context_weight > 0 and seq > 1:
+        # CCI context mean = one all-reduce of a single-frame latent
+        reduce_ += latent_bytes_per_chunk
+    return {"gather": gather, "reduce": reduce_, "total": gather + reduce_}
+
+
+def wan_delay_s(nbytes: int, bw_mbps: float, rtt_ms: float, jitter_ms: float,
+                rng: random.Random) -> float:
+    d = 0.0
+    if rtt_ms > 0:
+        d += max(0.0, rng.gauss(rtt_ms, jitter_ms)) / 1e3
+    if bw_mbps > 0:
+        d += nbytes * 8 / (bw_mbps * 1e6)
+    return d
+
+
+def device_mem_mb() -> tuple:
+    import jax
+
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        return (stats.get("peak_bytes_in_use", 0) / 2**20,
+                stats.get("bytes_in_use", 0) / 2**20)
+    except Exception:
+        return (0.0, 0.0)
+
+
+def run_one(args) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.text_encoder import tokenize_batch
+    from ..ops import rng as rng_ops
+    from ..pipelines.text2video import build_pipeline
+    from ..scoring.temporal import (
+        boundary_pairs,
+        flow_warp_error,
+        temporal_instability,
+    )
+    from ..utils.init import param_bytes as pb_fn
+    from ..utils.testing import perturb_zero_params
+    from .mesh import make_mesh
+    from .sharding import sharded_size_per_device
+    from .strategies import build_runner, get_strategy
+
+    mesh_shape = tuple(int(x) for x in args.mesh.split(","))
+    mesh = make_mesh(mesh_shape)
+    world = int(np.prod(mesh_shape))
+
+    pipe = build_pipeline(args.model, seed=args.param_seed)
+    if args.perturb:
+        pipe.params = perturb_zero_params(pipe.params, seed=99)
+
+    overrides = {}
+    if args.num_chunks:
+        overrides["num_chunks"] = args.num_chunks
+    if args.overlap is not None:
+        overrides["overlap"] = args.overlap
+    if args.context_weight is not None:
+        overrides["context_weight"] = args.context_weight
+    strategy = get_strategy(args.mode, **overrides)
+
+    runner = build_runner(pipe, strategy, mesh, num_frames=args.frames,
+                          height=args.height, width=args.width,
+                          num_steps=args.steps,
+                          guidance_scale=args.guidance_scale)
+    ids = jnp.asarray(tokenize_batch(["", args.prompt],
+                                     pipe.spec.text.vocab_size,
+                                     pipe.spec.text.max_length))
+    key = rng_ops.base_key(args.seed)
+
+    # compile (excluded from latency, like the reference's warmup)
+    frames = runner(pipe.params, ids, key)
+    jax.block_until_ready(frames)
+
+    t0 = time.time()
+    frames = runner(pipe.params, ids, key)
+    jax.block_until_ready(frames)
+    compute_s = time.time() - t0
+
+    # WAN emulation applied to the analytic comm volume
+    ds = pipe.spec.vae.downscale
+    lat_bytes = (runner.plan.chunk_len if runner.plan else args.frames) * \
+        (args.height // ds) * (args.width // ds) * pipe.latent_channels * 2
+    comm = estimate_comm_bytes(strategy, mesh, runner.plan,
+                               pb_fn(pipe.params), args.steps, lat_bytes)
+    rng_h = random.Random(args.seed)
+    net_gather_s = net_reduce_s = 0.0
+    if args.emu != "ideal":
+        net_gather_s = wan_delay_s(comm["gather"], args.emu_bw_mbps,
+                                   args.emu_rtt_ms, args.emu_jitter_ms, rng_h)
+        net_reduce_s = wan_delay_s(comm["reduce"], args.emu_bw_mbps,
+                                   args.emu_rtt_ms, args.emu_jitter_ms, rng_h)
+        time.sleep(min(net_gather_s + net_reduce_s, 10.0))
+    latency_s = compute_s + net_gather_s + net_reduce_s
+
+    peak_mb, end_mb = device_mem_mb()
+    video = np.asarray(((frames + 1.0) * 127.5).clip(0, 255).astype(jnp.uint8))
+
+    # boundary temporal metrics (reference chunk_only.py:183-208)
+    temp_instab = flow_err = 0.0
+    if runner.plan is not None and runner.plan.num_chunks > 1:
+        idx = runner.plan.frame_index
+        bounds = [(int(r[0]), int(r[-1]) + 1) for r in idx]
+        pairs = boundary_pairs(bounds)
+        temp_instab = temporal_instability(video, pairs)
+        flow_err = flow_warp_error(video, pairs)
+
+    if args.save_video:
+        from ..utils.video_io import encode_mp4
+
+        with open(args.save_video, "wb") as f:
+            f.write(encode_mp4(video, fps=8))
+
+    return {
+        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "mode": args.mode,
+        "world_size": world,
+        "mesh": args.mesh,
+        "model": args.model,
+        "width": args.width,
+        "height": args.height,
+        "frames": args.frames,
+        "steps": args.steps,
+        "num_chunks": runner.plan.num_chunks if runner.plan else 1,
+        "overlap": strategy.overlap if strategy.chunked else 0,
+        "context_weight": strategy.context_weight,
+        "emu": args.emu,
+        "latency_s": round(latency_s, 4),
+        "compute_s": round(compute_s, 4),
+        "throughput_fps": round(args.frames / latency_s, 3),
+        "peak_mem_mb": round(peak_mb, 1),
+        "end_mem_mb": round(end_mb, 1),
+        "param_mb_per_device": round(
+            sharded_size_per_device(pipe.params, mesh, strategy.shard_params) / 2**20, 1),
+        "network_bytes": comm["total"],
+        "net_gather_s": round(net_gather_s, 4),
+        "net_reduce_s": round(net_reduce_s, 4),
+        "temp_instab": round(temp_instab, 5),
+        "flow_err": round(flow_err, 5),
+    }
+
+
+EMU_PRESETS = {
+    "ideal": (0.0, 0.0, 0.0),
+    "wifi": (500.0, 3.01, 3.53),
+    "ethernet": (1000.0, 0.12, 0.06),
+}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(description="dvdx distributed strategy benchmark")
+    ap.add_argument("--mode", default="hybrid_ctx",
+                    choices=["single", "fsdp", "chunk", "hybrid", "hybrid_ctx", "cp_exact"])
+    ap.add_argument("--mesh", default="1,1,1", help="data,model,seq mesh shape")
+    ap.add_argument("--model", default="zeroscope-tiny")
+    ap.add_argument("--prompt", default="a red panda climbing a tree")
+    ap.add_argument("--width", type=int, default=None)
+    ap.add_argument("--height", type=int, default=None)
+    ap.add_argument("--frames", type=int, default=None)
+    ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--guidance_scale", type=float, default=7.5)
+    ap.add_argument("--num_chunks", type=int, default=0)
+    ap.add_argument("--overlap", type=int, default=None)
+    ap.add_argument("--context_weight", type=float, default=None)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--param_seed", type=int, default=0)
+    ap.add_argument("--perturb", action="store_true",
+                    help="fill zero-init layers (random-weight demos)")
+    ap.add_argument("--emu", default="ideal", choices=list(EMU_PRESETS))
+    ap.add_argument("--emu_bw_mbps", type=float, default=None)
+    ap.add_argument("--emu_rtt_ms", type=float, default=None)
+    ap.add_argument("--emu_jitter_ms", type=float, default=None)
+    ap.add_argument("--csv", default="")
+    ap.add_argument("--save_video", default="")
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--cpu_devices", type=int, default=8)
+    return ap
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.cpu:
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                                   f" --xla_force_host_platform_device_count={args.cpu_devices}").strip()
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from ..models.zoo import get_model_spec
+
+    spec = get_model_spec(args.model)
+    args.width = args.width or spec.default_width
+    args.height = args.height or spec.default_height
+    args.frames = args.frames or spec.default_frames
+    args.steps = args.steps or spec.default_steps
+    bw, rtt, jit = EMU_PRESETS[args.emu]
+    args.emu_bw_mbps = args.emu_bw_mbps if args.emu_bw_mbps is not None else bw
+    args.emu_rtt_ms = args.emu_rtt_ms if args.emu_rtt_ms is not None else rtt
+    args.emu_jitter_ms = args.emu_jitter_ms if args.emu_jitter_ms is not None else jit
+
+    row = run_one(args)
+    print(json.dumps(row))
+    if args.csv:
+        exists = os.path.exists(args.csv)
+        with open(args.csv, "a", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=CSV_COLUMNS)
+            if not exists:
+                w.writeheader()
+            w.writerow(row)
+
+
+if __name__ == "__main__":
+    main()
