@@ -1,0 +1,170 @@
+"""User-facing REST prompt API (aiohttp) — the Flask prompt_api analog.
+
+Endpoints (parity with `/root/reference/InferNet/api/prompt_api.py:15-212`):
+  POST /submit_prompt {request_id, prompt}  — verify the on-ledger prompt
+        commitment, attach the cleartext prompt, wait (<=120 s) for the
+        deposit to be visible
+  GET  /status/<id>      — request lifecycle state
+  GET  /result/<id>      — the validator's results JSON (video paths -> URLs)
+  GET  /videos/<file>    — mp4 serving
+  POST /refund/<id>      — manual refund of a stuck request
+  GET  /health
+plus infra endpoints the chainless deployment needs:
+  POST /register {pubkey, address, role, stake} — neuron registration
+        (the subtensor-registration analog)
+  GET  /registry — metagraph snapshot for miners' sync loops
+  POST /deposit {user, request_id, prompt_hash, amount} — dev/test faucet
+        path standing in for the on-chain depositAndCommit transaction
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import os
+import time
+from typing import Optional
+
+from aiohttp import web
+
+from .base import Registry
+from .deposit_listener import DepositListener
+from .ledger import Ledger, LedgerError
+
+
+def create_app(ledger: Ledger, listener: DepositListener, registry: Registry,
+               results_dir: str = "generated_videos",
+               submit_wait_s: float = 120.0) -> web.Application:
+    app = web.Application()
+
+    def cors(resp: web.StreamResponse) -> web.StreamResponse:
+        resp.headers["Access-Control-Allow-Origin"] = "*"
+        return resp
+
+    async def submit_prompt(request: web.Request):
+        try:
+            body = await request.json()
+        except Exception:
+            return cors(web.json_response({"error": "invalid JSON"}, status=400))
+        rid = body.get("request_id")
+        prompt = body.get("prompt")
+        if not rid or not prompt:
+            return cors(web.json_response(
+                {"error": "request_id and prompt required"}, status=400))
+        # wait for the deposit event to be seen (reference waits <=120 s,
+        # api/prompt_api.py:39-58)
+        deadline = time.time() + submit_wait_s
+        while listener.status_of(rid) is None and time.time() < deadline:
+            await asyncio.sleep(0.1)
+        if listener.status_of(rid) is None:
+            return cors(web.json_response(
+                {"error": "no deposit found for request"}, status=404))
+        if not listener.attach_prompt(rid, prompt):
+            return cors(web.json_response(
+                {"error": "prompt does not match on-ledger commitment"},
+                status=400))
+        return cors(web.json_response({"status": "accepted", "request_id": rid}))
+
+    async def status(request: web.Request):
+        rid = request.match_info["rid"]
+        entry = listener.status_of(rid)
+        if entry is None:
+            return cors(web.json_response({"error": "unknown request"}, status=404))
+        return cors(web.json_response({
+            "request_id": rid, "status": entry["status"],
+            "has_prompt": bool(entry["prompt"]),
+        }))
+
+    async def result(request: web.Request):
+        rid = request.match_info["rid"]
+        path = os.path.join(results_dir, f"results_{rid}.json")
+        if not os.path.exists(path):
+            return cors(web.json_response({"error": "no results yet"}, status=404))
+        with open(path) as f:
+            data = json.load(f)
+        # rewrite any video paths to URLs (prompt_api.py:118-150)
+        for m in data.get("miners", {}).values():
+            if "video_path" in m:
+                m["video_url"] = f"/videos/{os.path.basename(m['video_path'])}"
+        return cors(web.json_response(data))
+
+    async def videos(request: web.Request):
+        fname = os.path.basename(request.match_info["fname"])
+        path = os.path.join(results_dir, fname)
+        if not os.path.exists(path):
+            return cors(web.json_response({"error": "not found"}, status=404))
+        return cors(web.FileResponse(path))
+
+    async def refund(request: web.Request):
+        rid = request.match_info["rid"]
+        try:
+            ledger.refund_unused("validator", rid)
+            listener.set_status(rid, "refunded")
+            return cors(web.json_response({"status": "refunded"}))
+        except LedgerError as e:
+            return cors(web.json_response({"error": str(e)}, status=400))
+
+    async def health(_request):
+        return cors(web.json_response({
+            "status": "ok",
+            "active_requests": len(listener.active_requests),
+            "miners": len(registry.miners()),
+            "block": ledger.block,
+        }))
+
+    async def register(request: web.Request):
+        body = await request.json()
+        try:
+            stake = int(body.get("stake", 0))
+            uid = registry.register(bytes.fromhex(body["pubkey"]),
+                                    body["address"], body.get("role", "miner"),
+                                    stake)
+            # dev-faucet semantics: mirror the declared stake onto the ledger
+            # so record_submission's staked-miner requirement holds (a real
+            # deployment replaces this with an on-chain stake transaction)
+            account = f"miner-{uid}"
+            if body.get("role", "miner") == "miner" and \
+                    stake > ledger.stake_of(account):
+                delta = stake - ledger.stake_of(account)
+                ledger.mint(account, delta)
+                ledger.stake(account, delta)
+        except (KeyError, ValueError) as e:
+            return cors(web.json_response({"error": str(e)}, status=400))
+        return cors(web.json_response({"uid": uid}))
+
+    async def registry_snapshot(_request):
+        return cors(web.Response(text=registry.to_json(),
+                                 content_type="application/json"))
+
+    async def deposit(request: web.Request):
+        body = await request.json()
+        try:
+            user = body["user"]
+            amount = int(body["amount"])
+            ledger.mint(user, amount)
+            ledger.deposit_and_commit(user, body["request_id"],
+                                      bytes.fromhex(body["prompt_hash"]), amount)
+        except (KeyError, ValueError, LedgerError) as e:
+            return cors(web.json_response({"error": str(e)}, status=400))
+        return cors(web.json_response({"status": "deposited"}))
+
+    app.router.add_post("/submit_prompt", submit_prompt)
+    app.router.add_get("/status/{rid}", status)
+    app.router.add_get("/result/{rid}", result)
+    app.router.add_get("/videos/{fname}", videos)
+    app.router.add_post("/refund/{rid}", refund)
+    app.router.add_get("/health", health)
+    app.router.add_post("/register", register)
+    app.router.add_get("/registry", registry_snapshot)
+    app.router.add_post("/deposit", deposit)
+    return app
+
+
+async def serve_api(app: web.Application, host: str = "127.0.0.1",
+                    port: int = 0) -> tuple:
+    runner = web.AppRunner(app)
+    await runner.setup()
+    site = web.TCPSite(runner, host, port)
+    await site.start()
+    actual_port = site._server.sockets[0].getsockname()[1]
+    return runner, actual_port

@@ -1,0 +1,128 @@
+"""HTTP transport, REST API, and deposit listener integration tests
+(real sockets on localhost, real wire format)."""
+
+import asyncio
+import json
+
+import numpy as np
+import pytest
+from aiohttp import ClientSession
+
+from dvdx_tpu.network import protocol as P
+from dvdx_tpu.network.api import create_app, serve_api
+from dvdx_tpu.network.base import Registry
+from dvdx_tpu.network.deposit_listener import DepositListener
+from dvdx_tpu.network.http_transport import HttpTransport, serve_neuron
+from dvdx_tpu.network.ledger import Ledger, prompt_commitment
+from dvdx_tpu.network.miner import Miner
+from dvdx_tpu.verify.proof import Keypair
+
+
+def _run(coro):
+    return asyncio.new_event_loop().run_until_complete(coro)
+
+
+def test_deposit_listener_flow():
+    led = Ledger()
+    listener = DepositListener(led, stuck_timeout_s=9999)
+    led.mint("alice", 500)
+    led.deposit_and_commit("alice", "r1", prompt_commitment("hello"), 500)
+    listener.poll_once()
+    assert listener.status_of("r1")["status"] == "pending"
+    assert not listener.attach_prompt("r1", "wrong prompt")
+    assert listener.attach_prompt("r1", "hello")
+    assert listener.next_ready() == "r1"
+    listener.set_status("r1", "completed")
+    assert listener.next_ready() is None
+
+
+def test_deposit_listener_auto_refund():
+    led = Ledger()
+    listener = DepositListener(led, stuck_timeout_s=0.0)  # instant timeout
+    led.mint("bob", 100)
+    led.deposit_and_commit("bob", "r2", b"\x01" * 32, 100)
+    listener.poll_once()   # registers
+    listener.poll_once()   # refunds (age > 0)
+    assert listener.status_of("r2")["status"] == "refunded"
+    assert led.balance("bob") == 100
+    assert listener.metrics["auto_refunds"] == 1
+
+
+def test_http_transport_roundtrip(tiny_pipeline_module):
+    async def go():
+        reg = Registry()
+        kp = Keypair.from_seed(b"http-miner")
+        miner = Miner(tiny_pipeline_module, kp, reg)
+        vkp = Keypair.from_seed(b"http-validator")
+        reg.register(vkp.public_bytes, "v", role="validator", stake=100)
+        runner, port = await serve_neuron(miner.handle, port=0)
+        t = HttpTransport()
+        try:
+            pong = await t.request(f"127.0.0.1:{port}", P.Ping(nonce=5))
+            assert isinstance(pong, P.Pong) and pong.nonce == 5
+            req = P.InferenceRequest(
+                request_id="h1", prompt="an http request", width=32, height=32,
+                num_frames=2, num_steps=2, seed=9, challenge=b"\x02" * 32,
+                validator_pubkey=vkp.public_bytes)
+            resp = await t.request(f"127.0.0.1:{port}", req)
+            assert resp.status == "ok"
+            assert len(resp.video) > 0
+            assert len(resp.merkle_root) == 32
+            # malformed body -> 400, transport raises
+            async with ClientSession() as sess:
+                async with sess.post(f"http://127.0.0.1:{port}/dvdx",
+                                     data=b"junk") as r:
+                    assert r.status == 400
+        finally:
+            await t.close()
+            await runner.cleanup()
+
+    _run(go())
+
+
+def test_rest_api_lifecycle():
+    async def go():
+        led = Ledger()
+        listener = DepositListener(led, stuck_timeout_s=9999)
+        reg = Registry()
+        app = create_app(led, listener, reg, submit_wait_s=2.0)
+        runner, port = await serve_api(app, port=0)
+        base = f"http://127.0.0.1:{port}"
+        try:
+            async with ClientSession() as sess:
+                async with sess.get(f"{base}/health") as r:
+                    assert (await r.json())["status"] == "ok"
+                # deposit via the faucet endpoint
+                ph = prompt_commitment("make a video").hex()
+                async with sess.post(f"{base}/deposit", json={
+                    "user": "carol", "request_id": "api-1",
+                    "prompt_hash": ph, "amount": 1000}) as r:
+                    assert r.status == 200, await r.text()
+                listener.poll_once()
+                # wrong prompt rejected against the commitment
+                async with sess.post(f"{base}/submit_prompt", json={
+                    "request_id": "api-1", "prompt": "different"}) as r:
+                    assert r.status == 400
+                async with sess.post(f"{base}/submit_prompt", json={
+                    "request_id": "api-1", "prompt": "make a video"}) as r:
+                    assert r.status == 200
+                async with sess.get(f"{base}/status/api-1") as r:
+                    body = await r.json()
+                    assert body["status"] == "pending" and body["has_prompt"]
+                async with sess.get(f"{base}/result/api-1") as r:
+                    assert r.status == 404  # no round run yet
+                async with sess.post(f"{base}/refund/api-1") as r:
+                    assert r.status == 200
+                async with sess.get(f"{base}/status/unknown") as r:
+                    assert r.status == 404
+                # neuron registration endpoints
+                async with sess.post(f"{base}/register", json={
+                    "pubkey": "aa" * 32, "address": "1.2.3.4:5", "stake": 7}) as r:
+                    assert (await r.json())["uid"] == 0
+                async with sess.get(f"{base}/registry") as r:
+                    snap = await r.json()
+                    assert snap["0"]["stake"] == 7
+        finally:
+            await runner.cleanup()
+
+    _run(go())
