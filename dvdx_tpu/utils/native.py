@@ -70,16 +70,18 @@ def sha256_leaves(timesteps: np.ndarray, zs: np.ndarray, epss: np.ndarray,
         raise RuntimeError("native library unavailable")
     n = len(timesteps)
     ts = np.ascontiguousarray(timesteps, dtype=np.uint16)
-    zb = np.ascontiguousarray(zs).tobytes()
-    eb = np.ascontiguousarray(epss).tobytes()
-    bpt = len(zb) // n
-    if len(eb) // n != bpt:
+    za = np.ascontiguousarray(zs)
+    ea = np.ascontiguousarray(epss)
+    bpt = za.nbytes // n
+    if ea.nbytes // n != bpt:
         raise ValueError("z/eps byte size mismatch")
     out = ctypes.create_string_buffer(32 * n)
     if n_threads <= 0:
         n_threads = min(8, os.cpu_count() or 1)
     lib.dvdx_sha256_leaves(
-        ts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), zb, eb,
+        ts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        za.ctypes.data_as(ctypes.c_char_p),
+        ea.ctypes.data_as(ctypes.c_char_p),
         n, bpt, out, n_threads,
     )
     raw = out.raw

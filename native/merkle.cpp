@@ -18,7 +18,100 @@
 #include <thread>
 #include <vector>
 
+#if defined(__x86_64__)
+#include <cpuid.h>
+#include <immintrin.h>
+#define DVDX_X86 1
+#endif
+
 namespace {
+
+#ifdef DVDX_X86
+bool has_sha_ni() {
+  static const bool ok = [] {
+    unsigned a, b, c, d;
+    if (!__get_cpuid_count(7, 0, &a, &b, &c, &d)) return false;
+    return (b & (1u << 29)) != 0;  // EBX bit 29 = SHA
+  }();
+  return ok;
+}
+
+// One or more 64-byte blocks via SHA-NI (FIPS 180-4 schedule in xmm lanes).
+__attribute__((target("sha,sse4.1")))
+void sha_ni_blocks(uint32_t state[8], const uint8_t* data, size_t nblocks) {
+  static const uint32_t K[64] = {
+      0x428a2f98, 0x71374491, 0xb5c0fbcf, 0xe9b5dba5, 0x3956c25b, 0x59f111f1,
+      0x923f82a4, 0xab1c5ed5, 0xd807aa98, 0x12835b01, 0x243185be, 0x550c7dc3,
+      0x72be5d74, 0x80deb1fe, 0x9bdc06a7, 0xc19bf174, 0xe49b69c1, 0xefbe4786,
+      0x0fc19dc6, 0x240ca1cc, 0x2de92c6f, 0x4a7484aa, 0x5cb0a9dc, 0x76f988da,
+      0x983e5152, 0xa831c66d, 0xb00327c8, 0xbf597fc7, 0xc6e00bf3, 0xd5a79147,
+      0x06ca6351, 0x14292967, 0x27b70a85, 0x2e1b2138, 0x4d2c6dfc, 0x53380d13,
+      0x650a7354, 0x766a0abb, 0x81c2c92e, 0x92722c85, 0xa2bfe8a1, 0xa81a664b,
+      0xc24b8b70, 0xc76c51a3, 0xd192e819, 0xd6990624, 0xf40e3585, 0x106aa070,
+      0x19a4c116, 0x1e376c08, 0x2748774c, 0x34b0bcb5, 0x391c0cb3, 0x4ed8aa4a,
+      0x5b9cca4f, 0x682e6ff3, 0x748f82ee, 0x78a5636f, 0x84c87814, 0x8cc70208,
+      0x90befffa, 0xa4506ceb, 0xbef9a3f7, 0xc67178f2};
+  const __m128i MASK =
+      _mm_set_epi64x(0x0c0d0e0f08090a0bULL, 0x0405060700010203ULL);
+  // state layout for sha256rnds2: ABEF / CDGH
+  __m128i tmp = _mm_loadu_si128((const __m128i*)&state[0]);   // DCBA
+  __m128i st1 = _mm_loadu_si128((const __m128i*)&state[4]);   // HGFE
+  tmp = _mm_shuffle_epi32(tmp, 0xB1);  // CDAB
+  st1 = _mm_shuffle_epi32(st1, 0x1B);  // EFGH
+  __m128i abef = _mm_alignr_epi8(tmp, st1, 8);                // ABEF
+  __m128i cdgh = _mm_blend_epi16(st1, tmp, 0xF0);             // CDGH
+
+  while (nblocks--) {
+    __m128i save0 = abef, save1 = cdgh;
+    __m128i msg0 = _mm_shuffle_epi8(
+        _mm_loadu_si128((const __m128i*)(data + 0)), MASK);
+    __m128i msg1 = _mm_shuffle_epi8(
+        _mm_loadu_si128((const __m128i*)(data + 16)), MASK);
+    __m128i msg2 = _mm_shuffle_epi8(
+        _mm_loadu_si128((const __m128i*)(data + 32)), MASK);
+    __m128i msg3 = _mm_shuffle_epi8(
+        _mm_loadu_si128((const __m128i*)(data + 48)), MASK);
+
+    __m128i msg;
+#define RND2(mi, ki)                                                        \
+  msg = _mm_add_epi32(mi, _mm_loadu_si128((const __m128i*)&K[ki]));         \
+  cdgh = _mm_sha256rnds2_epu32(cdgh, abef, msg);                            \
+  msg = _mm_shuffle_epi32(msg, 0x0E);                                       \
+  abef = _mm_sha256rnds2_epu32(abef, cdgh, msg);
+#define SCHED(m0, m1, m2, m3)                                               \
+  m0 = _mm_sha256msg1_epu32(m0, m1);                                        \
+  m0 = _mm_add_epi32(m0, _mm_alignr_epi8(m3, m2, 4));                       \
+  m0 = _mm_sha256msg2_epu32(m0, m3);
+
+    RND2(msg0, 0) RND2(msg1, 4) RND2(msg2, 8) RND2(msg3, 12)
+    SCHED(msg0, msg1, msg2, msg3) RND2(msg0, 16)
+    SCHED(msg1, msg2, msg3, msg0) RND2(msg1, 20)
+    SCHED(msg2, msg3, msg0, msg1) RND2(msg2, 24)
+    SCHED(msg3, msg0, msg1, msg2) RND2(msg3, 28)
+    SCHED(msg0, msg1, msg2, msg3) RND2(msg0, 32)
+    SCHED(msg1, msg2, msg3, msg0) RND2(msg1, 36)
+    SCHED(msg2, msg3, msg0, msg1) RND2(msg2, 40)
+    SCHED(msg3, msg0, msg1, msg2) RND2(msg3, 44)
+    SCHED(msg0, msg1, msg2, msg3) RND2(msg0, 48)
+    SCHED(msg1, msg2, msg3, msg0) RND2(msg1, 52)
+    SCHED(msg2, msg3, msg0, msg1) RND2(msg2, 56)
+    SCHED(msg3, msg0, msg1, msg2) RND2(msg3, 60)
+#undef RND2
+#undef SCHED
+
+    abef = _mm_add_epi32(abef, save0);
+    cdgh = _mm_add_epi32(cdgh, save1);
+    data += 64;
+  }
+
+  tmp = _mm_shuffle_epi32(abef, 0x1B);  // FEBA
+  st1 = _mm_shuffle_epi32(cdgh, 0xB1);  // DCHG
+  __m128i dcba = _mm_blend_epi16(tmp, st1, 0xF0);
+  __m128i hgfe = _mm_alignr_epi8(st1, tmp, 8);
+  _mm_storeu_si128((__m128i*)&state[0], dcba);
+  _mm_storeu_si128((__m128i*)&state[4], hgfe);
+}
+#endif  // DVDX_X86
 
 struct Sha256 {
   uint32_t h[8];
@@ -75,6 +168,16 @@ struct Sha256 {
     h[4] += e; h[5] += f; h[6] += g; h[7] += hh;
   }
 
+  void blocks(const uint8_t* data, size_t nblocks) {
+#ifdef DVDX_X86
+    if (has_sha_ni()) {
+      sha_ni_blocks(h, data, nblocks);
+      return;
+    }
+#endif
+    for (size_t i = 0; i < nblocks; i++) block(data + 64 * i);
+  }
+
   void update(const uint8_t* data, size_t n) {
     len += n;
     if (buflen) {
@@ -84,14 +187,14 @@ struct Sha256 {
       data += take;
       n -= take;
       if (buflen == 64) {
-        block(buf);
+        blocks(buf, 1);
         buflen = 0;
       }
     }
-    while (n >= 64) {
-      block(data);
-      data += 64;
-      n -= 64;
+    if (n >= 64) {
+      blocks(data, n / 64);
+      data += (n / 64) * 64;
+      n %= 64;
     }
     if (n) {
       std::memcpy(buf, data, n);
