@@ -1,0 +1,96 @@
+"""Utility tests: checkpoint round-trip, config layering, profiling, sign CLI."""
+
+import dataclasses
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dvdx_tpu.utils.config import DVDXConfig
+from dvdx_tpu.utils.profiling import PhaseTimer, device_memory
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from dvdx_tpu.utils.checkpoint import load_params, save_params
+
+    params = {"a": {"w": jnp.arange(12.0).reshape(3, 4)},
+              "b": jnp.ones((5,), jnp.int32)}
+    path = str(tmp_path / "ckpt")
+    save_params(params, path)
+    back = load_params(path, like=params)
+    np.testing.assert_array_equal(np.asarray(back["a"]["w"]),
+                                  np.asarray(params["a"]["w"]))
+    np.testing.assert_array_equal(np.asarray(back["b"]), np.asarray(params["b"]))
+
+
+def test_checkpoint_fetch_retries(tmp_path):
+    from dvdx_tpu.utils.checkpoint import fetch_checkpoint
+
+    calls = {"n": 0}
+
+    def flaky(src, dst):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise IOError("transient")
+        os.makedirs(dst, exist_ok=True)
+
+    out = fetch_checkpoint("src", str(tmp_path / "dst"), retries=5,
+                           backoff_s=0.0, fetcher=flaky)
+    assert calls["n"] == 3 and os.path.isdir(out)
+
+    with pytest.raises(RuntimeError):
+        fetch_checkpoint("nope", str(tmp_path / "d2"), retries=2, backoff_s=0.0)
+
+
+def test_config_layering(monkeypatch):
+    cfg = DVDXConfig.default()
+    assert cfg.economics.audit_rate == 0.30
+    assert cfg.validator.mdvqs_alpha == 0.4
+
+    monkeypatch.setenv("DVDX_DIFFUSION_NUM_STEPS", "13")
+    cfg = DVDXConfig.from_args(["--validator.sample_size", "7"])
+    assert cfg.diffusion.num_steps == 13       # env overlay
+    assert cfg.validator.sample_size == 7      # CLI overlay
+
+    d = cfg.to_dict()
+    cfg2 = DVDXConfig.from_dict(d)
+    assert cfg2.validator.sample_size == 7
+
+
+def test_config_json_roundtrip(tmp_path):
+    cfg = DVDXConfig.default()
+    cfg = dataclasses.replace(cfg)  # copy
+    p = str(tmp_path / "cfg.json")
+    cfg.save_json(p)
+    cfg2 = DVDXConfig.from_json(p)
+    assert cfg2.to_dict() == cfg.to_dict()
+
+
+def test_phase_timer():
+    t = PhaseTimer()
+    with t.phase("a"):
+        pass
+    with t.phase("a"):
+        pass
+    r = t.report()
+    assert r["a"]["count"] == 2
+    assert r["a"]["total_s"] >= 0
+    mem = device_memory()
+    assert "peak_mb" in mem
+
+
+def test_signature_cli(capsys):
+    from dvdx_tpu.verify.cli import main
+
+    assert main(["keygen", "--seed", "tester"]) == 0
+    pub = json.loads(capsys.readouterr().out)["pubkey"]
+    assert main(["sign", "--seed", "tester", "--message", "hello"]) == 0
+    sig = json.loads(capsys.readouterr().out)["signature"]
+    assert main(["verify", "--pubkey", pub, "--message", "hello",
+                 "--signature", sig]) == 0
+    assert json.loads(capsys.readouterr().out)["valid"]
+    # tampered message fails
+    assert main(["verify", "--pubkey", pub, "--message", "hell0",
+                 "--signature", sig]) == 1
