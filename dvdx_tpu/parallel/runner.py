@@ -211,7 +211,7 @@ EMU_PRESETS = {
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(description="dvdx distributed strategy benchmark")
     ap.add_argument("--mode", default="hybrid_ctx",
-                    choices=["single", "fsdp", "chunk", "hybrid", "hybrid_ctx", "cp_exact"])
+                    choices=["single", "fsdp", "chunk", "hybrid", "hybrid_ctx", "cp_exact", "precond"])
     ap.add_argument("--mesh", default="1,1,1", help="data,model,seq mesh shape")
     ap.add_argument("--model", default="zeroscope-tiny")
     ap.add_argument("--prompt", default="a red panda climbing a tree")

@@ -49,6 +49,10 @@ class Strategy:
     overlap: int = 2
     context_weight: float = 0.0  # CCI weight (reference default 0.35)
     exact_cp: bool = False
+    # pre-conditioning overlap ("Strategy C"): denoise the FULL latent for
+    # pre_steps before finishing independently per chunk (reference
+    # `legacy/Latent Chunking/precond_overlap/run_worker.py:32-44`)
+    pre_steps: int = 0
 
 
 PRESETS: Dict[str, Strategy] = {
@@ -59,6 +63,7 @@ PRESETS: Dict[str, Strategy] = {
     "hybrid_ctx": Strategy("hybrid_ctx", shard_params=True, chunked=True,
                            context_weight=0.35),
     "cp_exact": Strategy("cp_exact", shard_params=True, exact_cp=True),
+    "precond": Strategy("precond", chunked=True, pre_steps=2),
 }
 
 
@@ -145,13 +150,22 @@ def build_runner(
             ctx = jnp.mean(z0_full, axis=0, keepdims=True)[None]  # (1,1,lh,lw,c)
 
         if strategy.chunked:
-            chunks = gather_chunks(z0_full[None], plan)[0]  # (n, L, lh, lw, c)
+            z_start = z0_full[None].astype(latent_dtype)
+            pre = min(strategy.pre_steps, num_steps)
+            if pre > 0:
+                # Strategy C: shared full-sequence pre-conditioning phase
+                z_start = denoise(unet_apply, params["unet"], sched, z_start,
+                                  cond, uncond, guidance_scale,
+                                  context_latent=ctx, context_weight=cw,
+                                  step_range=(0, pre))
+            chunks = gather_chunks(z_start, plan)[0]  # (n, L, lh, lw, c)
             z = jax.lax.with_sharding_constraint(chunks.astype(latent_dtype), chunk_shard)
             n = plan.num_chunks
             cond_n = jnp.broadcast_to(cond, (n,) + cond.shape[1:])
             uncond_n = jnp.broadcast_to(uncond, (n,) + uncond.shape[1:])
             zf = denoise(unet_apply, params["unet"], sched, z, cond_n, uncond_n,
-                         guidance_scale, context_latent=ctx, context_weight=cw)
+                         guidance_scale, context_latent=ctx, context_weight=cw,
+                         step_range=(pre, num_steps))
             zf = jax.lax.with_sharding_constraint(zf, chunk_shard)
             z_final = blend_chunks(zf[None].astype(jnp.float32), plan)[0]  # (F,...)
         else:

@@ -138,8 +138,15 @@ def denoise(
     context_latent: Optional[jax.Array] = None,
     context_weight: float = 0.0,
     record: bool = False,
+    step_range: Optional[Tuple[int, int]] = None,
 ):
-    """Full denoise loop as lax.scan. z0: (B, F, h, w, C).
+    """Denoise loop as lax.scan over steps [a, b) of the schedule
+    (default: all). z0: (B, F, h, w, C).
+
+    step_range enables partial denoising — used by the pre-conditioning
+    overlap strategy (reference 'Strategy C',
+    `legacy/Latent Chunking/precond_overlap/run_worker.py:32-44`) which
+    denoises the full latent for pre_steps before finishing per-chunk.
 
     record=True additionally returns (z_t, eps_t) per step — the Proof-of-
     Inference leaves (z stacked pre-update, as `miner.py:571-589` records).
@@ -153,7 +160,8 @@ def denoise(
         out = (z, eps) if record else None
         return z_prev, out
 
-    steps = jnp.arange(sched.num_steps)
+    a, b = step_range if step_range is not None else (0, sched.num_steps)
+    steps = jnp.arange(a, b)
     z_final, recs = jax.lax.scan(body, z0, steps)
     if record:
         return z_final, recs[0], recs[1]
