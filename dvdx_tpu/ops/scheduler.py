@@ -42,6 +42,9 @@ class DDIMSchedule:
     timesteps: jnp.ndarray
     alphas_cumprod: jnp.ndarray
     alphas_cumprod_prev: jnp.ndarray
+    # 'epsilon' (Zeroscope/SD UNets) or 'v_prediction' (CogVideoX-class DiTs)
+    prediction_type: str = dataclasses.field(default="epsilon",
+                                             metadata={"static": True})
 
     @property
     def num_steps(self) -> int:
@@ -75,6 +78,7 @@ def make_ddim_schedule(
     beta_schedule: str = "scaled_linear",
     steps_offset: int = 1,
     timestep_spacing: str = "leading",
+    prediction_type: str = "epsilon",
 ) -> DDIMSchedule:
     """Build the sampled-timestep tables.
 
@@ -105,6 +109,7 @@ def make_ddim_schedule(
         timesteps=jnp.asarray(ts, dtype=jnp.int32),
         alphas_cumprod=jnp.asarray(alpha_t, dtype=jnp.float32),
         alphas_cumprod_prev=jnp.asarray(alpha_prev, dtype=jnp.float32),
+        prediction_type=prediction_type,
     )
 
 
@@ -126,13 +131,19 @@ def ddim_step(
     """
     orig_dtype = latents.dtype
     z = latents.astype(jnp.float32)
-    e = eps.astype(jnp.float32)
+    model_out = eps.astype(jnp.float32)
 
     alpha_t = sched.alphas_cumprod[step_index]
     alpha_prev = sched.alphas_cumprod_prev[step_index]
     beta_t = 1.0 - alpha_t
 
-    pred_x0 = (z - jnp.sqrt(beta_t) * e) * jax.lax.rsqrt(alpha_t)
+    if sched.prediction_type == "v_prediction":
+        # v = sqrt(a) eps - sqrt(1-a) x0  =>  x0 = sqrt(a) z - sqrt(1-a) v
+        pred_x0 = jnp.sqrt(alpha_t) * z - jnp.sqrt(beta_t) * model_out
+        e = jnp.sqrt(alpha_t) * model_out + jnp.sqrt(beta_t) * z
+    else:
+        e = model_out
+        pred_x0 = (z - jnp.sqrt(beta_t) * e) * jax.lax.rsqrt(alpha_t)
 
     if eta > 0.0:
         if noise is None:

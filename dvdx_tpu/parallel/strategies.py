@@ -107,8 +107,8 @@ def build_runner(
     spec = pipe.spec
     ds = spec.vae.downscale
     lh, lw = height // ds, width // ds
-    c = spec.unet.in_channels
-    sched = make_ddim_schedule(num_steps)
+    c = spec.latent_channels
+    sched = make_ddim_schedule(num_steps, prediction_type=spec.prediction_type)
     seq = mesh.shape["seq"]
 
     plan = None

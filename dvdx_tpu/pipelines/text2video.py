@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..models.dit_video import VideoDiT, init_dit_params
 from ..models.text_encoder import CLIPTextEncoder, init_text_params, tokenize_batch
 from ..models.unet3d import UNet3D, init_unet_params
 from ..models.vae import VAEDecoder, decode_frames_tiled
@@ -40,7 +41,7 @@ class Pipeline:
     layer can re-shard them without touching this class."""
 
     spec: ModelSpec
-    unet: UNet3D
+    unet: object        # the denoiser module: UNet3D or VideoDiT (same API)
     text_encoder: CLIPTextEncoder
     vae_decoder: VAEDecoder
     params: Dict[str, Any]
@@ -48,7 +49,7 @@ class Pipeline:
 
     @property
     def latent_channels(self) -> int:
-        return self.spec.unet.in_channels
+        return self.spec.latent_channels
 
     def generator(self, num_frames: int, height: int, width: int, num_steps: int,
                   guidance_scale: float, context_weight: float, record: bool):
@@ -56,7 +57,8 @@ class Pipeline:
         key = (num_frames, height, width, num_steps, float(guidance_scale),
                float(context_weight), bool(record))
         if key not in self._gen_cache:
-            sched = make_ddim_schedule(num_steps)
+            sched = make_ddim_schedule(num_steps,
+                                       prediction_type=self.spec.prediction_type)
             fn = functools.partial(
                 generate_core, self.spec, self.unet.apply, self.text_encoder.apply,
                 self.vae_decoder.apply, sched=sched, num_frames=num_frames,
@@ -72,11 +74,16 @@ def build_pipeline(model_name: str = "zeroscope-tiny", seed: int = 0) -> Pipelin
     from ..utils.init import fast_init
 
     spec = get_model_spec(model_name)
-    unet = UNet3D(spec.unet)
+    if spec.kind == "dit":
+        unet = VideoDiT(spec.dit)
+        denoiser_params = init_dit_params(spec.dit, seed=seed)
+    else:
+        unet = UNet3D(spec.unet)
+        denoiser_params = init_unet_params(spec.unet, seed=seed)
     text = CLIPTextEncoder(spec.text)
     vae_dec = VAEDecoder(spec.vae)
     params = {
-        "unet": init_unet_params(spec.unet, seed=seed),
+        "unet": denoiser_params,
         "text": init_text_params(spec.text, seed=seed + 1),
         "vae_dec": fast_init(
             vae_dec, seed + 2,
@@ -193,7 +200,7 @@ def generate_core(
     """
     ds = spec.vae.downscale
     lh, lw = height // ds, width // ds
-    c = spec.unet.in_channels
+    c = spec.latent_channels
 
     hidden, _ = text_apply(params["text"], token_ids)
     uncond, cond = hidden[0:1], hidden[1:2]

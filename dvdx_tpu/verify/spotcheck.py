@@ -67,7 +67,8 @@ class StepEngine:
     def step_fn(self, num_steps: int, guidance_scale: float):
         key = (num_steps, float(guidance_scale))
         if key not in self._steps:
-            sched = make_ddim_schedule(num_steps)
+            sched = make_ddim_schedule(
+                num_steps, prediction_type=self.pipe.spec.prediction_type)
             unet_apply = self.pipe.unet.apply
 
             def step(params, z, step_index, cond, uncond):
@@ -111,7 +112,7 @@ class StepEngine:
         spec = self.pipe.spec
         ds = spec.vae.downscale
         lh, lw = height // ds, width // ds
-        c = spec.unet.in_channels
+        c = spec.latent_channels
         params = self.pipe.params
 
         ids = tokenize_batch([negative_prompt, prompt], spec.text.vocab_size,
@@ -153,7 +154,7 @@ class StepEngine:
         spec = self.pipe.spec
         ds = spec.vae.downscale
         noise = self.noise_fn(num_frames, height // ds, width // ds,
-                              spec.unet.in_channels)(rng_ops.base_key(seed))
+                              spec.latent_channels)(rng_ops.base_key(seed))
         return np.asarray(noise.astype(latent_dtype))
 
 
