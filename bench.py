@@ -82,6 +82,29 @@ def main():
     except Exception:
         pass
 
+    # Proof-of-Inference verify overhead: k=3 exact step re-executions vs the
+    # 25-step denoise (target < 10%, BASELINE.md)
+    verify = {}
+    try:
+        from dvdx_tpu.verify.spotcheck import StepEngine
+
+        engine = StepEngine(pipe)
+        uncond, cond = engine.encode_fn()(params, ids)
+        step, _ = engine.step_fn(NUM_STEPS, 7.5)
+        z = engine.noise_fn(NUM_FRAMES, HEIGHT // 8, WIDTH // 8, 4)(key)
+        z = z[None].astype(jnp.bfloat16)
+        jax.block_until_ready(step(params, z, jnp.int32(0), cond, uncond))  # compile
+        t0 = time.time()
+        for i in range(3):
+            jax.block_until_ready(step(params, z, jnp.int32(i), cond, uncond))
+        reexec_s = time.time() - t0
+        verify = {
+            "spotcheck_reexec_s": round(reexec_s, 3),
+            "verify_overhead_pct": round(100 * reexec_s / sec_per_video, 2),
+        }
+    except Exception as e:
+        verify = {"verify_error": str(e)[:120]}
+
     result = {
         "metric": "sec/video (zeroscope-576w 16f@576x320, 25 steps, 1 chip)",
         "value": round(sec_per_video, 3),
@@ -94,6 +117,7 @@ def main():
         "baseline_sec": round(A100_BASELINE_SEC, 2),
         "device": str(dev),
         **mem,
+        **verify,
     }
     print(json.dumps(result))
 

@@ -148,6 +148,14 @@ def create_app(ledger: Ledger, listener: DepositListener, registry: Registry,
             return cors(web.json_response({"error": str(e)}, status=400))
         return cors(web.json_response({"status": "deposited"}))
 
+    async def index(_request):
+        page = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), "frontend", "index.html")
+        if os.path.exists(page):
+            return web.FileResponse(page)
+        return web.json_response({"service": "dvdx validator API"})
+
+    app.router.add_get("/", index)
     app.router.add_post("/submit_prompt", submit_prompt)
     app.router.add_get("/status/{rid}", status)
     app.router.add_get("/result/{rid}", result)

@@ -80,6 +80,10 @@ async def run_miner(args):
                                                      n["address"], n["role"],
                                                      n["stake"])
                     print(f"[miner] synced registry ({len(snap)} neurons), uid={uid}")
+                    # metrics dump (the miner_metrics.json analog,
+                    # reference neurons/miner.py:171-178)
+                    with open("miner_metrics.json", "w") as f:
+                        json.dump(miner.metrics, f)
                 except Exception as e:
                     print(f"[miner] sync failed: {e}")
                 await asyncio.sleep(args.sync_interval)

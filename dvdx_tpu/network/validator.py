@@ -131,6 +131,13 @@ class Validator(Neuron):
         for uid, resp in results:
             self.metrics["responses"] += 1
             detail = await self.verify_response(uid, req, resp)
+            if resp.status == "ok" and resp.video and not detail.get("cheat"):
+                os.makedirs(cfg.results_dir, exist_ok=True)
+                vpath = os.path.join(cfg.results_dir,
+                                     f"{request_id}_miner{uid}.mp4")
+                with open(vpath, "wb") as f:
+                    f.write(resp.video)
+                detail["video_path"] = vpath
             per_miner[uid] = detail
             rewards.append(detail["score"])
             reward_uids.append(uid)

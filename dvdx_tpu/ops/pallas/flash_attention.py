@@ -98,6 +98,54 @@ def _flash_bh(q, k, v, scale: float, seq_len: int, block_q: int, block_k: int,
     )(q, k, v)
 
 
+def _onepass_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int):
+    """Single-pass attention for sequences whose full K/V fit in VMEM
+    (S_pad <= ~4k at D=64): one masked softmax over the whole row, two large
+    MXU matmuls, no online-softmax recurrence. ~3x fewer grid steps than the
+    blocked path at UNet spatial sizes."""
+    q = q_ref[0]  # (Bq, D)
+    k = k_ref[0]  # (S_pad, D)
+    v = v_ref[0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (Bq, S_pad) f32 in VMEM
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < seq_len, s, NEG_INF)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = (o / l).astype(o_ref.dtype)
+
+
+def _onepass_bh(q, k, v, scale: float, seq_len: int, block_q: int,
+                interpret: bool = False):
+    bh, s_pad, d = q.shape
+    n_q = s_pad // block_q
+    kernel = functools.partial(_onepass_kernel, scale=scale, seq_len=seq_len)
+    return pl.pallas_call(
+        kernel,
+        grid=(bh, n_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, iq: (b, iq, 0)),
+            pl.BlockSpec((1, s_pad, d), lambda b, iq: (b, 0, 0)),
+            pl.BlockSpec((1, s_pad, d), lambda b, iq: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, iq: (b, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, s_pad, d), q.dtype),
+        interpret=interpret,
+    )(q, k, v)
+
+
+# max padded seq len for the single-pass path: logits block (block_q x S_pad)
+# f32 + K/V residency must fit VMEM
+_ONEPASS_MAX_SEQ = 4096
+
+
 def flash_attention(q, k, v, *, scale: float | None = None,
                     block_q: int = 512, block_k: int = 512,
                     interpret: bool = False):
@@ -118,7 +166,11 @@ def flash_attention(q, k, v, *, scale: float | None = None,
             x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
         return x
 
-    o = _flash_bh(to_bh(q), to_bh(k), to_bh(v), float(scale), s, block_q,
-                  block_k, interpret=interpret)
+    if s_pad <= _ONEPASS_MAX_SEQ:
+        o = _onepass_bh(to_bh(q), to_bh(k), to_bh(v), float(scale), s,
+                        block_q, interpret=interpret)
+    else:
+        o = _flash_bh(to_bh(q), to_bh(k), to_bh(v), float(scale), s, block_q,
+                      block_k, interpret=interpret)
     o = o[:, :s].reshape(b, h, s, d)
     return jnp.transpose(o, (0, 2, 1, 3))
