@@ -155,7 +155,17 @@ def create_app(ledger: Ledger, listener: DepositListener, registry: Registry,
             return web.FileResponse(page)
         return web.json_response({"service": "dvdx validator API"})
 
+    async def weights(_request):
+        # on-chain weight emission view (set_weights analog,
+        # base/validator.py:187-291): kappa-clipped normalised + u16
+        sb = app.get("scorebook")
+        if sb is None:
+            return cors(web.json_response({"weights": {}, "u16": {}}))
+        return cors(web.json_response({"weights": sb.weights(),
+                                       "u16": sb.weights_u16()}))
+
     app.router.add_get("/", index)
+    app.router.add_get("/weights", weights)
     app.router.add_post("/submit_prompt", submit_prompt)
     app.router.add_get("/status/{rid}", status)
     app.router.add_get("/result/{rid}", result)

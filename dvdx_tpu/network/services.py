@@ -114,6 +114,7 @@ async def run_validator(args):
 
     listener.start()
     app = create_app(ledger, listener, registry, results_dir=args.results_dir)
+    app["scorebook"] = validator.scores  # /weights observability endpoint
     runner, port = await serve_api(app, args.host, args.api_port)
     print(f"[validator] REST API at {args.host}:{port}; forward loop running")
 
