@@ -86,3 +86,27 @@ def test_sweep_deterministic():
     r1 = simulate_ev(DEFAULT, gamma=g, alpha=a, f=f, n_paths=32, seed=7)
     r2 = simulate_ev(DEFAULT, gamma=g, alpha=a, f=f, n_paths=32, seed=7)
     np.testing.assert_array_equal(r1["ev_cheat"], r2["ev_cheat"])
+
+
+def test_cheapest_secure_point(sweep):
+    from dvdx_tpu.economics.optimize import cheapest_secure_point
+
+    out = cheapest_secure_point(res=sweep, gamma=0.8)
+    assert out["feasible"]
+    assert out["delta_ev"] < 0
+    assert 0.1 <= out["alpha"] <= 0.6
+    # infeasible when demanding an absurd safety margin
+    out2 = cheapest_secure_point(res=sweep, gamma=0.8, margin=1e9)
+    assert not out2["feasible"]
+
+
+def test_logging_setup(tmp_path):
+    from dvdx_tpu.utils.logging import EVENT_LEVEL, event, setup_logging
+
+    lg = setup_logging("miner", 3, log_dir=str(tmp_path))
+    lg.info("hello")
+    event(lg, "proto event %d", 7)
+    import logging
+    assert logging.getLevelName(EVENT_LEVEL) == "EVENT"
+    files = list(tmp_path.iterdir())
+    assert files and files[0].read_text().count("miner3") >= 2
