@@ -101,6 +101,10 @@ def main():
         verify = {
             "spotcheck_reexec_s": round(reexec_s, 3),
             "verify_overhead_pct": round(100 * reexec_s / sec_per_video, 2),
+            # fraction of denoise steps re-executed (the reference's <10%
+            # claim is this ratio at its T=30 config; at the XL 50-step
+            # workload k=3 -> 6%)
+            "verify_steps_fraction": round(3 / NUM_STEPS, 3),
         }
     except Exception as e:
         verify = {"verify_error": str(e)[:120]}
