@@ -240,7 +240,9 @@ class TemporalAttention(nn.Module):
             pos = frame_positions if frame_positions is not None else jnp.arange(f)
             q = rotary_embed(q, pos)
             k = rotary_embed(k, pos)
-        o = multi_head_attention(q, k, v)
+        # 'ring' engages ring attention when the frame axis is sharded
+        # (exact context parallelism); otherwise falls through to auto
+        o = multi_head_attention(q, k, v, impl="ring")
         o = o.reshape(-1, f, inner)
         o = nn.Dense(c, dtype=self.dtype, kernel_init=nn.initializers.zeros, name="to_out_zero")(o)
         o = o.reshape(b, hh, ww, f, c).transpose(0, 3, 1, 2, 4)

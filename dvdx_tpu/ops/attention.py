@@ -44,6 +44,26 @@ def _xla_attention(q, k, v, scale: float) -> jax.Array:
     return out.astype(q.dtype)
 
 
+# --- ring context: lets temporal attention run as ring attention when the
+# sequence (frame) axis is sharded (exact context parallelism; set during
+# tracing by parallel.strategies for cp_exact) -------------------------------
+
+import contextlib as _contextlib
+
+_RING_CTX: list = []
+
+
+@_contextlib.contextmanager
+def ring_context(mesh, axis_name: str = "seq"):
+    """While tracing inside this context, attention calls with impl='ring'
+    execute as ring attention over `axis_name` of `mesh`."""
+    _RING_CTX.append((mesh, axis_name))
+    try:
+        yield
+    finally:
+        _RING_CTX.pop()
+
+
 def multi_head_attention(
     q: jax.Array,
     k: jax.Array,
@@ -54,9 +74,21 @@ def multi_head_attention(
 ) -> jax.Array:
     """Scaled-dot-product attention over (batch, seq, heads, head_dim).
 
-    impl: 'xla' | 'pallas' | 'auto'. 'auto' picks pallas for long self-attn
-    sequences on TPU, xla otherwise. Deterministic for fixed impl/shape.
+    impl: 'xla' | 'pallas' | 'auto' | 'ring'. 'auto' picks pallas for long
+    self-attn sequences on TPU, xla otherwise. 'ring' runs ring attention
+    when a ring_context is active (and the sequence divides the mesh axis),
+    else falls through to auto. Deterministic for fixed impl/shape.
     """
+    if impl == "ring":
+        if _RING_CTX and q.shape[1] == k.shape[1]:
+            mesh, axis_name = _RING_CTX[-1]
+            n = mesh.shape[axis_name]
+            if n > 1 and q.shape[1] % n == 0:
+                from .ring_attention import ring_attention
+
+                return ring_attention(q, k, v, mesh, axis_name=axis_name,
+                                      scale=scale)
+        impl = "auto"
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if impl == "auto" and _FORCED_IMPL:

@@ -141,6 +141,15 @@ def build_runner(
         return imgs.reshape(imgs.shape[0] * imgs.shape[1], *imgs.shape[2:])
 
     def core(params, token_ids, noise_key):
+        if strategy.exact_cp and seq > 1:
+            # temporal attention as ring attention over the sharded frame axis
+            from ..ops.attention import ring_context
+
+            with ring_context(mesh, "seq"):
+                return _core_body(params, token_ids, noise_key)
+        return _core_body(params, token_ids, noise_key)
+
+    def _core_body(params, token_ids, noise_key):
         hidden, _ = text_apply(params["text"], token_ids)
         uncond, cond = hidden[0:1], hidden[1:2]
 

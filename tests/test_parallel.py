@@ -95,3 +95,23 @@ def test_chunk_strategy_matches_singlechunk_semantics(tiny_pipeline):
     a = np.asarray(single(pipe.params, ids, key))
     b = np.asarray(chunk1(pipe.params, ids, key))
     np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_cp_exact_matches_single_device(tiny_pipeline):
+    """Exact context parallelism is NOT an approximation: frame-sharded
+    denoise with ring temporal attention must match the single-device result
+    (up to f32 accumulation-order noise) — unlike chunked modes, which trade
+    exactness for independence (measured via temp_instab)."""
+    pipe = tiny_pipeline
+    ids = jnp.asarray(tokenize_batch(["", "a waterfall"], pipe.spec.text.vocab_size,
+                                     pipe.spec.text.max_length))
+    key = rng_ops.base_key(9)
+    single = build_runner(pipe, get_strategy("single"),
+                          make_mesh((1, 1, 1), devices=[jax.devices()[0]]),
+                          num_frames=8, height=32, width=32, num_steps=2)
+    cp = build_runner(pipe, get_strategy("cp_exact", shard_params=False),
+                      make_mesh((1, 1, 8)),
+                      num_frames=8, height=32, width=32, num_steps=2)
+    a = np.asarray(single(pipe.params, ids, key), np.float32)
+    b = np.asarray(cp(pipe.params, ids, key), np.float32)
+    np.testing.assert_allclose(a, b, atol=3e-2)  # decoded-pixel scale [-1,1]
