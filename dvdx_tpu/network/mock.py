@@ -57,6 +57,28 @@ class LazyMiner(Miner):
         return resp
 
 
+class WrongVideoMiner(Miner):
+    """Adversary: honest trace + signature, but delivers an unrelated cached
+    video (re-signed over the substitute's digest). Only the video<->trace
+    binding check catches this — the reference cannot."""
+
+    def _generate_with_proof(self, req):
+        import hashlib
+
+        resp = super()._generate_with_proof(req)
+        rng = np.random.default_rng(1234)
+        fake = rng.integers(0, 255, (req.num_frames, req.height, req.width, 3),
+                            dtype=np.uint8)
+        from ..utils.video_io import encode_mp4
+        from ..verify.proof import sign_proof
+
+        resp.video = encode_mp4(fake, fps=req.fps or 8)
+        resp.video_sha256 = hashlib.sha256(resp.video).digest()
+        resp.signature = sign_proof(self.keypair, req.challenge, req.seed,
+                                    resp.video, resp.merkle_root)
+        return resp
+
+
 class WrongSeedMiner(Miner):
     """Adversary: ignores the validator seed (e.g. replays a cached video)."""
 
@@ -117,7 +139,8 @@ def build_mock_network(
         kp = Keypair.from_seed(f"miner-{i}".encode())
         kind = adversaries[i] if i < len(adversaries) else "honest"
         cls = {"honest": Miner, "lazy": LazyMiner,
-               "wrong_seed": WrongSeedMiner}[kind]
+               "wrong_seed": WrongSeedMiner,
+               "wrong_video": WrongVideoMiner}[kind]
         miner = cls(pipeline, kp, registry)
         addr = f"mock://miner-{i}"
         uid = miner.register(addr, stake=stake)

@@ -56,6 +56,8 @@ class ValidatorConfig:
     trust_decay: float = 0.8        # gamma
     slash_fraction: float = 0.1     # f*
     timeout_s: float = 300.0        # dendrite timeout (validator.py:434)
+    video_binding: bool = True      # bind delivered video to committed trace
+    binding_max_err: float = 0.12   # codec-lossy tolerance (mean abs, [-1,1])
     results_dir: str = "generated_videos"
     # request geometry defaults (config.py:89-119 PoC scale)
     width: int = 32
@@ -247,7 +249,7 @@ class Validator(Neuron):
         do_audit = bool(self._audit_rng.random() < cfg.audit_rate)
         d["audited"] = do_audit
         if do_audit:
-            ok = await self._spot_check(uid, req, resp, d)
+            ok = await self._spot_check(uid, req, resp, d, frames)
             if not ok:
                 return d  # fail() already populated by _spot_check
 
@@ -261,7 +263,8 @@ class Validator(Neuron):
         return d
 
     async def _spot_check(self, uid: int, req: P.InferenceRequest,
-                          resp: P.InferenceResponse, d: dict) -> bool:
+                          resp: P.InferenceResponse, d: dict,
+                          frames=None) -> bool:
         cfg = self.config
 
         def fail(name, cheat=True, **extra):
@@ -277,7 +280,7 @@ class Validator(Neuron):
         # index 0 is always revealed: binds the trace to the seed-derived base
         # noise, closing the replay/self-consistent-trace hole (a WrongSeed
         # adversary passes re-execution but fails this).
-        indices = sorted({0} | set(checks) |
+        indices = sorted({0, req.num_steps - 1} | set(checks) |
                          {i + 1 for i in checks if i + 1 < req.num_steps})
         d["spotcheck_indices"] = checks
 
@@ -349,6 +352,20 @@ class Validator(Neuron):
                             eps_err=res.max_eps_err, z_err=res.max_z_err)
         d["checks"]["reexecution"] = True
         d["reexec_bitwise"] = same_platform
+
+        # video <-> trace binding: decode a frame from the re-derived final
+        # latent and compare to the delivered video (closes the cached-video
+        # replay hole; the reference never ties video to commitments)
+        if cfg.video_binding and frames is not None:
+            last = req.num_steps - 1
+            ok_bind, err = self.engine.verify_video_binding(
+                frames, leaves[last], last, req.num_steps,
+                req.guidance_scale, req.prompt, req.negative_prompt,
+                max_err=cfg.binding_max_err)
+            d["video_binding_err"] = round(err, 4)
+            if not ok_bind:
+                return fail("video_binding", err=err)
+            d["checks"]["video_binding"] = True
         return True
 
     # -- results for the REST API (validator.py:971-1035) --

@@ -148,6 +148,60 @@ class StepEngine:
         z_next, eps = step(params, z, jnp.int32(step_index), cond, uncond)
         return np.asarray(eps[0]), np.asarray(z_next[0])
 
+    def decode_frame(self, z_frame: np.ndarray) -> np.ndarray:
+        """Decode one latent frame (h, w, C) -> (H, W, 3) f32 in [-1, 1]."""
+        if getattr(self, "_decode_one", None) is None:
+            vae_apply = self.pipe.vae_decoder.apply
+
+            def dec1(params, z):
+                return vae_apply(params["vae_dec"], z[None].astype(jnp.float32))[0]
+
+            self._decode_one = jax.jit(dec1)
+        return np.asarray(self._decode_one(self.pipe.params, jnp.asarray(z_frame)))
+
+    def verify_video_binding(self, video_frames: np.ndarray,
+                             last_leaf: Tuple[int, np.ndarray, np.ndarray],
+                             last_index: int, num_steps: int,
+                             guidance_scale: float, prompt: str,
+                             negative_prompt: str = "",
+                             frame_idx: int = 0,
+                             max_err: float = 0.12) -> Tuple[bool, float]:
+        """Bind the delivered VIDEO to the committed TRACE: re-derive
+        z_final from the revealed last leaf, decode frame `frame_idx`, and
+        compare against the received video's frame (codec-lossy tolerance).
+
+        Defeats the 'honest trace, unrelated cached video' adversary — a gap
+        the reference shares (its video is only CLIP-scored, never tied to
+        the committed latents).
+        """
+        _t, z_last, eps_last = last_leaf
+        if last_index != num_steps - 1:
+            # re-execute forward from the revealed leaf to the final latent
+            _eps, z_next = self.reexecute_pair(prompt, negative_prompt, z_last,
+                                               last_index, num_steps,
+                                               guidance_scale)
+        else:
+            _, sched = self.step_fn(num_steps, guidance_scale)
+            from ..ops.scheduler import ddim_step
+
+            z_next = np.asarray(ddim_step(sched, jnp.int32(last_index),
+                                          jnp.asarray(z_last)[None],
+                                          jnp.asarray(eps_last)[None])[0])
+        decoded = self.decode_frame(z_next[frame_idx])          # (H, W, 3)
+        got = video_frames[frame_idx].astype(np.float32) / 127.5 - 1.0
+        if decoded.shape != got.shape:
+            return False, float("inf")
+
+        # codec-robust comparison: 4x average-pool both frames first — mp4
+        # quantisation noise averages out, content substitution does not
+        def pool(x, k=4):
+            h, w, c = x.shape
+            h2, w2 = h - h % k, w - w % k
+            return x[:h2, :w2].reshape(h2 // k, k, w2 // k, k, c).mean((1, 3))
+
+        err = float(np.mean(np.abs(pool(np.asarray(decoded)) - pool(got))))
+        return err <= max_err, err
+
     def base_latent(self, seed: int, num_frames: int, height: int, width: int,
                     latent_dtype=jnp.bfloat16) -> np.ndarray:
         """Re-derive the miner's base noise from the 64-bit seed."""

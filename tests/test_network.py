@@ -153,3 +153,28 @@ def test_wan_emulation_records_delay(tiny_pipeline_module):
     assert report["miners"]["0"]["score"] > 0.0
     assert net.transport.stats["emulated_delay_s"] > 0.0
     assert net.transport.stats["bytes_sent"] > 0
+
+
+def test_wrong_video_miner_caught_by_binding(tiny_pipeline_module):
+    """Honest trace + unrelated cached video -> video_binding check fires
+    (the reference has no defence against this)."""
+    cfg = ValidatorConfig(sample_size=1, num_checkpoints=1, num_frames=2,
+                          width=32, height=32, num_steps=3)
+    net = build_mock_network(n_miners=1, adversaries=["wrong_video"],
+                            pipeline=tiny_pipeline_module, validator_config=cfg)
+    report = _run(net.run_request("req-5", "a sailing boat"))
+    d = report["miners"]["0"]
+    assert d.get("cheat") is True
+    assert d["failed_check"] == "video_binding"
+
+
+def test_honest_video_binding_within_codec_tolerance(tiny_pipeline_module):
+    cfg = ValidatorConfig(sample_size=1, num_checkpoints=1, num_frames=2,
+                          width=32, height=32, num_steps=3)
+    net = build_mock_network(n_miners=1, pipeline=tiny_pipeline_module,
+                            validator_config=cfg)
+    report = _run(net.run_request("req-6", "an honest video"))
+    d = report["miners"]["0"]
+    assert d["checks"].get("video_binding") is True
+    assert d["video_binding_err"] < 0.12
+    assert d["score"] > 0
