@@ -102,8 +102,14 @@ def build_runner(
     guidance_scale: float = 7.5,
     latent_dtype=jnp.bfloat16,
     decode_group: int = 0,
+    batch_size: int = 1,
 ) -> StrategyRunner:
-    """Trace + jit one strategy for a fixed generation geometry."""
+    """Trace + jit one strategy for a fixed generation geometry.
+
+    batch_size > 1 generates a batch of videos (one per fold_in(key, b)) with
+    the batch sharded over the mesh `data` axis — data parallelism for
+    serving throughput. Output gains a leading batch axis when > 1.
+    """
     spec = pipe.spec
     ds = spec.vae.downscale
     lh, lw = height // ds, width // ds
@@ -121,24 +127,26 @@ def build_runner(
     vae_apply = pipe.vae_decoder.apply
     cw = strategy.context_weight
 
-    chunk_shard = NamedSharding(mesh, P("seq"))
-    frame_shard = NamedSharding(mesh, P(None, "seq"))
-    dec_in_shard = NamedSharding(mesh, P("seq"))
+    bsz = batch_size
+    chunk_shard = NamedSharding(mesh, P(("data", "seq")))
+    frame_shard = NamedSharding(mesh, P("data", "seq"))
+    flat_shard = NamedSharding(mesh, P(("data", "seq")))
 
-    def decode(vae_params, z):  # z: (F, lh, lw, C) f32
-        z = jax.lax.with_sharding_constraint(z, dec_in_shard)
-        g = decode_group or seq
-        f = z.shape[0]
-        if f % g:
+    def decode(vae_params, z):  # z: (B, F, lh, lw, C) f32 -> (B, F, H, W, 3)
+        b, f = z.shape[0], z.shape[1]
+        flat = z.reshape(b * f, lh, lw, c)
+        flat = jax.lax.with_sharding_constraint(flat, flat_shard)
+        g = decode_group or seq * mesh.shape["data"]
+        if (b * f) % g:
             g = 1
-        groups = z.reshape(f // g, g, lh, lw, c)
+        groups = flat.reshape((b * f) // g, g, lh, lw, c)
 
         def one(carry, zg):
             img = jax.vmap(lambda zz: vae_apply(vae_params, zz[None])[0])(zg)
             return carry, img
 
         _, imgs = jax.lax.scan(one, None, groups)
-        return imgs.reshape(imgs.shape[0] * imgs.shape[1], *imgs.shape[2:])
+        return imgs.reshape(b, f, *imgs.shape[2:])
 
     def core(params, token_ids, noise_key):
         if strategy.exact_cp and seq > 1:
@@ -152,40 +160,55 @@ def build_runner(
     def _core_body(params, token_ids, noise_key):
         hidden, _ = text_apply(params["text"], token_ids)
         uncond, cond = hidden[0:1], hidden[1:2]
+        cond_b = jnp.broadcast_to(cond, (bsz,) + cond.shape[1:])
+        uncond_b = jnp.broadcast_to(uncond, (bsz,) + uncond.shape[1:])
 
-        z0_full = rng_ops.video_noise(noise_key, num_frames, (lh, lw, c), jnp.float32)
+        if bsz == 1:
+            # matches the unbatched pipeline exactly (same key -> same video)
+            z0_full = rng_ops.video_noise(noise_key, num_frames,
+                                          (lh, lw, c), jnp.float32)[None]
+        else:
+            keys = jax.vmap(lambda i: jax.random.fold_in(noise_key, i))(
+                jnp.arange(bsz, dtype=jnp.uint32))
+            z0_full = jax.vmap(
+                lambda k: rng_ops.video_noise(k, num_frames, (lh, lw, c), jnp.float32)
+            )(keys)  # (B, F, lh, lw, c)
         ctx = None
         if cw > 0.0:
-            ctx = jnp.mean(z0_full, axis=0, keepdims=True)[None]  # (1,1,lh,lw,c)
+            ctx = jnp.mean(z0_full, axis=1, keepdims=True)  # (B,1,lh,lw,c)
 
         if strategy.chunked:
-            z_start = z0_full[None].astype(latent_dtype)
+            z_start = z0_full.astype(latent_dtype)
             pre = min(strategy.pre_steps, num_steps)
             if pre > 0:
                 # Strategy C: shared full-sequence pre-conditioning phase
                 z_start = denoise(unet_apply, params["unet"], sched, z_start,
-                                  cond, uncond, guidance_scale,
+                                  cond_b, uncond_b, guidance_scale,
                                   context_latent=ctx, context_weight=cw,
                                   step_range=(0, pre))
-            chunks = gather_chunks(z_start, plan)[0]  # (n, L, lh, lw, c)
-            z = jax.lax.with_sharding_constraint(chunks.astype(latent_dtype), chunk_shard)
             n = plan.num_chunks
-            cond_n = jnp.broadcast_to(cond, (n,) + cond.shape[1:])
-            uncond_n = jnp.broadcast_to(uncond, (n,) + uncond.shape[1:])
+            chunks = gather_chunks(z_start, plan)  # (B, n, L, lh, lw, c)
+            z = chunks.reshape(bsz * n, plan.chunk_len, lh, lw, c)
+            z = jax.lax.with_sharding_constraint(z.astype(latent_dtype), chunk_shard)
+            cond_n = jnp.repeat(cond_b, n, axis=0)
+            uncond_n = jnp.repeat(uncond_b, n, axis=0)
+            ctx_n = jnp.repeat(ctx, n, axis=0) if ctx is not None else None
             zf = denoise(unet_apply, params["unet"], sched, z, cond_n, uncond_n,
-                         guidance_scale, context_latent=ctx, context_weight=cw,
+                         guidance_scale, context_latent=ctx_n, context_weight=cw,
                          step_range=(pre, num_steps))
             zf = jax.lax.with_sharding_constraint(zf, chunk_shard)
-            z_final = blend_chunks(zf[None].astype(jnp.float32), plan)[0]  # (F,...)
+            zf = zf.reshape(bsz, n, plan.chunk_len, lh, lw, c)
+            z_final = blend_chunks(zf.astype(jnp.float32), plan)  # (B,F,...)
         else:
-            z = z0_full[None].astype(latent_dtype)
-            if strategy.exact_cp:
-                z = jax.lax.with_sharding_constraint(z, frame_shard)
-            zf = denoise(unet_apply, params["unet"], sched, z, cond, uncond,
+            z = z0_full.astype(latent_dtype)
+            shard = frame_shard if strategy.exact_cp else NamedSharding(mesh, P("data"))
+            z = jax.lax.with_sharding_constraint(z, shard)
+            zf = denoise(unet_apply, params["unet"], sched, z, cond_b, uncond_b,
                          guidance_scale, context_latent=ctx, context_weight=cw)
-            z_final = zf[0].astype(jnp.float32)
+            z_final = zf.astype(jnp.float32)
 
-        return decode(params["vae_dec"], z_final)
+        out = decode(params["vae_dec"], z_final)  # (B, F, H, W, 3)
+        return out if bsz > 1 else out[0]
 
     shardings = {
         "unet": param_shardings(pipe.params["unet"], mesh, strategy.shard_params),

@@ -123,7 +123,10 @@ def cfg_denoise_step(
     b = z.shape[0]
     x = jnp.concatenate([z, z], axis=0)
     if context_latent is not None and context_weight > 0.0:
-        x = x + jnp.asarray(context_weight, x.dtype) * context_latent.astype(x.dtype)
+        ctx_lat = context_latent.astype(x.dtype)
+        if ctx_lat.shape[0] == b and b > 1:
+            ctx_lat = jnp.concatenate([ctx_lat, ctx_lat], axis=0)  # CFG pair
+        x = x + jnp.asarray(context_weight, x.dtype) * ctx_lat
     ctx = jnp.concatenate([uncond, cond], axis=0)
     ts = jnp.full((2 * b,), t, jnp.int32)
     eps_pair = unet_apply(unet_params, x, ts, ctx, frame_positions)
