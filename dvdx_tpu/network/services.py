@@ -124,17 +124,16 @@ async def run_validator(args):
         validator.scores.load(state_path)
         print(f"[validator] resumed scores for {len(validator.scores.scores)} miners")
 
-    try:
-        while True:
-            rid = listener.next_ready()
-            if rid is None:
-                await asyncio.sleep(args.poll_interval)
-                continue
-            entry = listener.status_of(rid)
-            listener.set_status(rid, "processing")
-            print(f"[validator] round for {rid}: {entry['prompt'][:60]!r}")
+    # concurrent rounds (the concurrent_forward analog,
+    # base/validator.py:110-131): up to --concurrency requests in flight
+    sem = asyncio.Semaphore(max(1, args.concurrency))
+    inflight = set()
+
+    async def one_round(rid, prompt):
+        async with sem:
+            print(f"[validator] round for {rid}: {prompt[:60]!r}")
             try:
-                report = await validator.run_round(rid, entry["prompt"])
+                report = await validator.run_round(rid, prompt)
                 ok = any(not d.get("cheat") and d["score"] > 0
                          for d in report.get("miners", {}).values())
                 listener.set_status(rid, "completed" if ok else "failed")
@@ -145,6 +144,19 @@ async def run_validator(args):
             except Exception as e:
                 print(f"[validator] round failed: {e}")
                 listener.set_status(rid, "failed")
+            finally:
+                inflight.discard(rid)
+
+    try:
+        while True:
+            rid = listener.next_ready()
+            if rid is None or rid in inflight:
+                await asyncio.sleep(args.poll_interval)
+                continue
+            entry = listener.status_of(rid)
+            listener.set_status(rid, "processing")
+            inflight.add(rid)
+            asyncio.create_task(one_round(rid, entry["prompt"]))
     finally:
         listener.stop()
         await transport.close()
@@ -179,6 +191,7 @@ def build_parser():
     v.add_argument("--frames", type=int, default=3)
     v.add_argument("--steps", type=int, default=8)
     v.add_argument("--poll-interval", type=float, default=2.0)
+    v.add_argument("--concurrency", type=int, default=1)
     v.add_argument("--stuck-timeout", type=float, default=600.0)
     v.add_argument("--results-dir", default="generated_videos")
     v.add_argument("--resume", action="store_true")
