@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import threading
 import time
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict, Optional, Tuple
 
 from .ledger import Ledger
 
@@ -117,6 +117,18 @@ class DepositListener:
             for rid, e in self.active_requests.items():
                 if e["status"] == "pending" and e["prompt"]:
                     return rid
+        return None
+
+    def claim_next_ready(self) -> Optional[Tuple[str, str]]:
+        """Atomically claim a ready request: transition pending->processing
+        under the listener lock and return (request_id, prompt). Atomicity
+        closes the race with _refund_stuck (a refunded request can never be
+        claimed, and a claimed one can never be refunded)."""
+        with self._lock:
+            for rid, e in self.active_requests.items():
+                if e["status"] == "pending" and e["prompt"]:
+                    e["status"] = "processing"
+                    return rid, e["prompt"]
         return None
 
     def set_status(self, request_id: str, status: str):

@@ -125,12 +125,15 @@ async def run_validator(args):
         print(f"[validator] resumed scores for {len(validator.scores.scores)} miners")
 
     # concurrent rounds (the concurrent_forward analog,
-    # base/validator.py:110-131): up to --concurrency requests in flight
+    # base/validator.py:110-131): up to --concurrency requests in flight.
+    # A request is only claimed (pending -> processing, atomic under the
+    # listener lock) once a slot is free, so queued requests stay 'pending'
+    # and remain eligible for the stuck-timeout auto-refund.
     sem = asyncio.Semaphore(max(1, args.concurrency))
-    inflight = set()
+    tasks: dict = {}  # rid -> task (strong refs; loop holds only weak ones)
 
     async def one_round(rid, prompt):
-        async with sem:
+        try:
             print(f"[validator] round for {rid}: {prompt[:60]!r}")
             try:
                 report = await validator.run_round(rid, prompt)
@@ -144,20 +147,25 @@ async def run_validator(args):
             except Exception as e:
                 print(f"[validator] round failed: {e}")
                 listener.set_status(rid, "failed")
-            finally:
-                inflight.discard(rid)
+        finally:
+            tasks.pop(rid, None)
+            sem.release()
 
     try:
         while True:
-            rid = listener.next_ready()
-            if rid is None or rid in inflight:
+            await sem.acquire()
+            claimed = listener.claim_next_ready()
+            if claimed is None:
+                sem.release()
                 await asyncio.sleep(args.poll_interval)
                 continue
-            entry = listener.status_of(rid)
-            listener.set_status(rid, "processing")
-            inflight.add(rid)
-            asyncio.create_task(one_round(rid, entry["prompt"]))
+            rid, prompt = claimed
+            tasks[rid] = asyncio.create_task(one_round(rid, prompt))
     finally:
+        pending = list(tasks.values())
+        if pending:
+            # let in-flight rounds finish (miners already did the work)
+            await asyncio.gather(*pending, return_exceptions=True)
         listener.stop()
         await transport.close()
         await runner.cleanup()

@@ -126,3 +126,27 @@ def test_rest_api_lifecycle():
             await runner.cleanup()
 
     _run(go())
+
+
+def test_claim_next_ready_atomic_vs_refund():
+    """claim_next_ready transitions pending->processing atomically: a claimed
+    request can't be auto-refunded, and queued (unclaimed) ones still can."""
+    led = Ledger()
+    listener = DepositListener(led, stuck_timeout_s=9999)
+    for i in (1, 2):
+        led.mint("u", 100)
+        led.deposit_and_commit("u", f"q-{i}", prompt_commitment(f"p{i}"), 100)
+    listener.poll_once()
+    assert listener.attach_prompt("q-1", "p1")
+    assert listener.attach_prompt("q-2", "p2")
+
+    rid, prompt = listener.claim_next_ready()
+    assert rid == "q-1" and prompt == "p1"
+    # stuck-refund pass: the claimed request survives, the queued one refunds
+    listener.stuck_timeout_s = 0.0
+    listener.poll_once()
+    assert listener.status_of("q-1")["status"] == "processing"
+    assert listener.status_of("q-2")["status"] == "refunded"
+    assert led.balance("u") == 100  # only q-2's escrow came back
+    # nothing left to claim
+    assert listener.claim_next_ready() is None
