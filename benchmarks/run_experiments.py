@@ -19,9 +19,22 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-MESHES_BY_WORLD = {1: "1,1,1", 2: "1,1,2", 4: "1,2,2", 8: "1,2,4"}
 MODES = ["fsdp", "chunk", "hybrid", "hybrid_ctx"]
 EMUS = ["ethernet", "wifi"]
+
+
+def mesh_for(mode: str, world: int) -> str:
+    """Map (strategy, world size) to its natural mesh factorisation:
+    fsdp shards only params (model axis), chunk only frames (seq axis),
+    hybrids split across both."""
+    if world == 1:
+        return "1,1,1"
+    if mode == "fsdp":
+        return f"1,{world},1"
+    if mode == "chunk":
+        return f"1,1,{world}"
+    model = 2 if world % 2 == 0 else 1
+    return f"1,{model},{world // model}"
 
 
 def main(argv=None):
@@ -48,10 +61,7 @@ def main(argv=None):
     total = len(worlds) * len(modes) * len(emus)
     done = 0
     for world, mode, emu in itertools.product(worlds, modes, emus):
-        mesh = MESHES_BY_WORLD.get(world)
-        if mesh is None:
-            print(f"skip world={world} (no mesh mapping)")
-            continue
+        mesh = mesh_for(mode, world)
         if world == 1 and mode != modes[0]:
             # all modes equal on one device; run once (mode[0]) like the
             # reference's world-size-1 baseline row
