@@ -98,8 +98,15 @@ def create_app(ledger: Ledger, listener: DepositListener, registry: Registry,
     async def refund(request: web.Request):
         rid = request.match_info["rid"]
         try:
-            ledger.refund_unused("validator", rid)
-            listener.set_status(rid, "refunded")
+            if listener.status_of(rid) is not None:
+                # known to the listener: refund only while still 'pending'
+                # (a claimed round must finish and pay its miners)
+                if not listener.try_refund(rid):
+                    return cors(web.json_response(
+                        {"error": "request is processing or finished"},
+                        status=409))
+            else:
+                ledger.refund_unused("validator", rid)
             return cors(web.json_response({"status": "refunded"}))
         except LedgerError as e:
             return cors(web.json_response({"error": str(e)}, status=400))
@@ -141,9 +148,14 @@ def create_app(ledger: Ledger, listener: DepositListener, registry: Registry,
         try:
             user = body["user"]
             amount = int(body["amount"])
+            prompt_hash = bytes.fromhex(body["prompt_hash"])  # validate first
+            rid = body["request_id"]
             ledger.mint(user, amount)
-            ledger.deposit_and_commit(user, body["request_id"],
-                                      bytes.fromhex(body["prompt_hash"]), amount)
+            try:
+                ledger.deposit_and_commit(user, rid, prompt_hash, amount)
+            except LedgerError:
+                ledger.burn(user, amount)  # roll the faucet mint back
+                raise
         except (KeyError, ValueError, LedgerError) as e:
             return cors(web.json_response({"error": str(e)}, status=400))
         return cors(web.json_response({"status": "deposited"}))

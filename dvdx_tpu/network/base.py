@@ -55,7 +55,10 @@ class Registry:
             for n in self.neurons.values():
                 if n.pubkey == pubkey:
                     n.address = address
+                    n.role = role
+                    n.stake = max(n.stake, stake)
                     n.is_serving = True
+                    n.last_seen = time.time()
                     return n.uid
             uid = self._next_uid
             self._next_uid += 1
@@ -66,6 +69,22 @@ class Registry:
 
     def get(self, uid: int) -> Optional[NeuronInfo]:
         return self.neurons.get(uid)
+
+    def replace_all(self, snapshot: Dict[str, dict]):
+        """Atomically swap in a registry snapshot (the miner sync path —
+        mutating `neurons` without the lock races handle() threads)."""
+        fresh: Dict[int, NeuronInfo] = {}
+        for uid_str, n in snapshot.items():
+            uid = int(uid_str)
+            fresh[uid] = NeuronInfo(uid=uid, pubkey=bytes.fromhex(n["pubkey"]),
+                                    address=n["address"], role=n["role"],
+                                    stake=int(n["stake"]),
+                                    trust=float(n.get("trust", 1.0)),
+                                    is_serving=bool(n.get("serving", True)),
+                                    last_seen=time.time())
+        with self._lock:
+            self.neurons = fresh
+            self._next_uid = max(fresh, default=-1) + 1
 
     def by_pubkey(self, pubkey: bytes) -> Optional[NeuronInfo]:
         with self._lock:

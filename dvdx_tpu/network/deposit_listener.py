@@ -31,7 +31,7 @@ class DepositListener:
         self.on_deposit = on_deposit
         self._lock = threading.RLock()
         self.active_requests: Dict[str, dict] = {}
-        self._last_block = 0
+        self._next_event_idx = 0
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self.metrics = {"deposits_seen": 0, "auto_refunds": 0, "polls": 0}
@@ -53,7 +53,8 @@ class DepositListener:
     def poll_once(self):
         """One poll cycle (also callable synchronously from tests)."""
         self.metrics["polls"] += 1
-        events = self.ledger.events_since(self._last_block)
+        events = self.ledger.events_from_index(self._next_event_idx)
+        self._next_event_idx += len(events)
         with self._lock:
             for ev in events:
                 if ev.kind == "Deposit":
@@ -71,22 +72,33 @@ class DepositListener:
                         self.active_requests[rid] = entry
                         if self.on_deposit:
                             self.on_deposit(rid, entry)
-            self._last_block = self.ledger.block + 1
         self.ledger.advance_block()
         self._refund_stuck()
+
+    def try_refund(self, request_id: str) -> bool:
+        """Atomically refund a request ONLY while it is still 'pending' in the
+        listener (a claimed/processing round can no longer be refunded out
+        from under its miners — closes the /refund mid-round race)."""
+        with self._lock:
+            entry = self.active_requests.get(request_id)
+            if entry is None or entry["status"] != "pending":
+                return False
+            self.ledger.refund_unused("validator", request_id)
+            entry["status"] = "refunded"
+            return True
 
     def _refund_stuck(self):
         now = time.time()
         with self._lock:
-            for rid, entry in list(self.active_requests.items()):
-                if entry["status"] == "pending" and \
-                        now - entry["seen_at"] > self.stuck_timeout_s:
-                    try:
-                        self.ledger.refund_unused("validator", rid)
-                        entry["status"] = "refunded"
-                        self.metrics["auto_refunds"] += 1
-                    except Exception:
-                        pass
+            stale = [rid for rid, e in self.active_requests.items()
+                     if e["status"] == "pending"
+                     and now - e["seen_at"] > self.stuck_timeout_s]
+        for rid in stale:
+            try:
+                if self.try_refund(rid):
+                    self.metrics["auto_refunds"] += 1
+            except Exception:
+                pass
 
     def _loop(self):
         while not self._stop.is_set():

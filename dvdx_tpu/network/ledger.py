@@ -90,6 +90,20 @@ class Ledger:
         with self._lock:
             return [e for e in self.events if e.block >= block]
 
+    def events_from_index(self, index: int) -> List[Event]:
+        """Events appended at or after list position `index` (append-only log,
+        so index-based consumption can never skip an event — unlike block
+        watermarks, which race with emits in the same block)."""
+        with self._lock:
+            return list(self.events[index:])
+
+    def burn(self, account: str, amount: int):
+        """Remove funds (mint rollback / slashed-stake burial)."""
+        with self._lock:
+            if self.balances.get(account, 0) < amount:
+                raise LedgerError("insufficient balance to burn")
+            self.balances[account] -= int(amount)
+
     # -- balances / stake --
 
     def mint(self, account: str, amount: int):

@@ -73,12 +73,7 @@ async def run_miner(args):
                         uid = (await r.json()).get("uid")
                     async with sess.get(f"http://{args.validator_api}/registry") as r:
                         snap = await r.json()
-                    registry.neurons.clear()
-                    registry._next_uid = 0
-                    for u, n in snap.items():
-                        info_uid = registry.register(bytes.fromhex(n["pubkey"]),
-                                                     n["address"], n["role"],
-                                                     n["stake"])
+                    registry.replace_all(snap)  # atomic swap under the lock
                     print(f"[miner] synced registry ({len(snap)} neurons), uid={uid}")
                     # metrics dump (the miner_metrics.json analog,
                     # reference neurons/miner.py:171-178)

@@ -275,14 +275,26 @@ class Validator(Neuron):
             self.metrics["failures"] += 1
             return False
 
+        # fresh per-audit randomness drawn AFTER the committed root arrived —
+        # the sampler must be unpredictable to the miner at commit time or a
+        # cheater grinds its fake leaves until the sample misses (see
+        # verify/proof.sample_spotcheck_indices). Publishing the secret in the
+        # round report lets third parties audit the sampling.
+        audit_secret = secrets.token_bytes(16)
         checks = sample_spotcheck_indices(resp.merkle_root, req.challenge,
-                                          req.num_steps, cfg.num_checkpoints)
+                                          req.num_steps, cfg.num_checkpoints,
+                                          secret=audit_secret)
+        # step T-1 is ALWAYS re-executed: the video-trace binding decodes the
+        # latent derived from eps_{T-1}, so an unverified final eps would let
+        # a miner bind an arbitrary cached video.
+        checks = sorted(set(checks) | {req.num_steps - 1})
         # index 0 is always revealed: binds the trace to the seed-derived base
         # noise, closing the replay/self-consistent-trace hole (a WrongSeed
         # adversary passes re-execution but fails this).
         indices = sorted({0, req.num_steps - 1} | set(checks) |
                          {i + 1 for i in checks if i + 1 < req.num_steps})
         d["spotcheck_indices"] = checks
+        d["audit_secret"] = audit_secret.hex()
 
         info = self.registry.get(uid)
         reveal_req = P.RevealRequest(request_id=req.request_id,
@@ -293,9 +305,11 @@ class Validator(Neuron):
             reveal = await self.transport.request(info.address, reveal_req,
                                                   timeout_s=cfg.timeout_s)
         except Exception as e:
-            return fail("reveal_transport", cheat=True, error=str(e))
+            # infrastructure failure, not proof of cheating: score 0, no slash
+            return fail("reveal_transport", cheat=False, error=str(e))
         if not isinstance(reveal, P.RevealResponse) or reveal.status != "ok":
-            return fail("reveal", error=getattr(reveal, "error", "bad reply"))
+            return fail("reveal", cheat=False,
+                        error=getattr(reveal, "error", "bad reply"))
 
         import ml_dtypes
 

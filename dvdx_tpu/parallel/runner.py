@@ -66,12 +66,11 @@ def estimate_comm_bytes(strategy, mesh, plan, param_bytes: int, steps: int,
 
 def wan_delay_s(nbytes: int, bw_mbps: float, rtt_ms: float, jitter_ms: float,
                 rng: random.Random) -> float:
-    d = 0.0
-    if rtt_ms > 0:
-        d += max(0.0, rng.gauss(rtt_ms, jitter_ms)) / 1e3
-    if bw_mbps > 0:
-        d += nbytes * 8 / (bw_mbps * 1e6)
-    return d
+    # single source of truth for the WAN model: network/transport.WANProfile
+    from ..network.transport import WANProfile
+
+    return WANProfile("emu", bandwidth_mbps=bw_mbps, rtt_ms=rtt_ms,
+                      jitter_ms=jitter_ms).delay_s(nbytes, rng)
 
 
 def device_mem_mb() -> tuple:
@@ -201,11 +200,14 @@ def run_one(args) -> dict:
     }
 
 
-EMU_PRESETS = {
-    "ideal": (0.0, 0.0, 0.0),
-    "wifi": (500.0, 3.01, 3.53),
-    "ethernet": (1000.0, 0.12, 0.06),
-}
+def _emu_presets():
+    from ..network.transport import WAN_PRESETS
+
+    return {name: (p.bandwidth_mbps, p.rtt_ms, p.jitter_ms)
+            for name, p in WAN_PRESETS.items()}
+
+
+EMU_PRESETS = _emu_presets()
 
 
 def build_parser() -> argparse.ArgumentParser:

@@ -96,10 +96,18 @@ def sample_spotcheck_indices(
     challenge: bytes,
     num_steps: int,
     num_checks: int = 3,
+    secret: bytes = b"",
 ) -> List[int]:
-    """Deterministic commit-then-reveal sampler: the indices depend on the
-    *committed* root + the validator challenge, so the miner cannot grind them
-    before committing and the validator cannot be accused of targeting.
+    """Commit-then-reveal spot-check sampler.
+
+    SECURITY: the indices must be *unpredictable to the miner at commit time*.
+    Both `merkle_root` and `challenge` are known to the miner before it
+    commits (the challenge arrives in the request), so hashing those alone
+    would let a cheater grind its fake leaves until the sample misses the
+    tampered steps (expected (1-m/T)^-k re-rolls of pure hashing). The
+    validator therefore mixes in `secret` — fresh per-audit randomness (or a
+    private key) drawn AFTER the committed root is received. Publishing
+    `secret` afterwards lets third parties audit the sampling.
 
     Returns `num_checks` distinct step indices in [0, num_steps). Every index
     i gets its eps_i re-executed from the revealed z_i; when leaf i+1 exists
@@ -115,7 +123,8 @@ def sample_spotcheck_indices(
     picked: List[int] = []
     counter = 0
     while len(picked) < num_checks:
-        digest = hashlib.sha256(merkle_root + challenge + counter.to_bytes(4, "big")).digest()
+        digest = hashlib.sha256(secret + merkle_root + challenge +
+                                counter.to_bytes(4, "big")).digest()
         idx = int.from_bytes(digest[:8], "big") % num_steps
         if idx not in picked:
             picked.append(idx)

@@ -174,19 +174,17 @@ class StepEngine:
         the reference shares (its video is only CLIP-scored, never tied to
         the committed latents).
         """
-        _t, z_last, eps_last = last_leaf
         if last_index != num_steps - 1:
-            # re-execute forward from the revealed leaf to the final latent
-            _eps, z_next = self.reexecute_pair(prompt, negative_prompt, z_last,
-                                               last_index, num_steps,
-                                               guidance_scale)
-        else:
-            _, sched = self.step_fn(num_steps, guidance_scale)
-            from ..ops.scheduler import ddim_step
+            raise ValueError("video binding requires the final leaf (T-1); "
+                             "the final eps must also be re-executed so a "
+                             "forged eps_{T-1} cannot bind a substitute video")
+        _t, z_last, eps_last = last_leaf
+        _, sched = self.step_fn(num_steps, guidance_scale)
+        from ..ops.scheduler import ddim_step
 
-            z_next = np.asarray(ddim_step(sched, jnp.int32(last_index),
-                                          jnp.asarray(z_last)[None],
-                                          jnp.asarray(eps_last)[None])[0])
+        z_next = np.asarray(ddim_step(sched, jnp.int32(last_index),
+                                      jnp.asarray(z_last)[None],
+                                      jnp.asarray(eps_last)[None])[0])
         decoded = self.decode_frame(z_next[frame_idx])          # (H, W, 3)
         got = video_frames[frame_idx].astype(np.float32) / 127.5 - 1.0
         if decoded.shape != got.shape:
