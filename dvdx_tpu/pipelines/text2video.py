@@ -69,8 +69,14 @@ class Pipeline:
         return self._gen_cache[key]
 
 
-def build_pipeline(model_name: str = "zeroscope-tiny", seed: int = 0) -> Pipeline:
-    """Random-init pipeline for a registered model family (host-side init)."""
+def build_pipeline(model_name: str = "zeroscope-tiny", seed: int = 0,
+                   params_dtype=None) -> Pipeline:
+    """Random-init pipeline for a registered model family (host-side init).
+
+    params_dtype: storage dtype for float parameters. Defaults to the family's
+    compute dtype — bf16-compute models store bf16 params (halves HBM
+    residency; inference needs no master copies). Deterministic: every host
+    derives identical bf16 weights from the seed (f32 init -> one cast)."""
     from ..utils.init import fast_init
 
     spec = get_model_spec(model_name)
@@ -90,6 +96,14 @@ def build_pipeline(model_name: str = "zeroscope-tiny", seed: int = 0) -> Pipelin
             jnp.zeros((1, 8, 8, spec.vae.latent_channels), jnp.float32),
         ),
     }
+    if params_dtype is None:
+        params_dtype = spec.denoiser_config.compute_dtype
+    if jnp.dtype(params_dtype) != jnp.float32:
+        params = jax.tree.map(
+            lambda x: x.astype(params_dtype)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+            params,
+        )
     return Pipeline(spec=spec, unet=unet, text_encoder=text, vae_decoder=vae_dec, params=params)
 
 
