@@ -52,10 +52,11 @@ class Pipeline:
         return self.spec.latent_channels
 
     def generator(self, num_frames: int, height: int, width: int, num_steps: int,
-                  guidance_scale: float, context_weight: float, record: bool):
+                  guidance_scale: float, context_weight: float, record: bool,
+                  cfg_split: bool = False):
         """Jitted (params, token_ids, noise_key) -> frames [, zs, epss]."""
         key = (num_frames, height, width, num_steps, float(guidance_scale),
-               float(context_weight), bool(record))
+               float(context_weight), bool(record), bool(cfg_split))
         if key not in self._gen_cache:
             sched = make_ddim_schedule(num_steps,
                                        prediction_type=self.spec.prediction_type)
@@ -63,7 +64,7 @@ class Pipeline:
                 generate_core, self.spec, self.unet.apply, self.text_encoder.apply,
                 self.vae_decoder.apply, sched=sched, num_frames=num_frames,
                 height=height, width=width, guidance_scale=guidance_scale,
-                context_weight=context_weight, record=record,
+                context_weight=context_weight, record=record, cfg_split=cfg_split,
             )
             self._gen_cache[key] = (jax.jit(fn), sched)
         return self._gen_cache[key]
@@ -126,25 +127,36 @@ def cfg_denoise_step(
     frame_positions: Optional[jax.Array] = None,
     context_latent: Optional[jax.Array] = None,
     context_weight: float = 0.0,
+    cfg_split: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """One classifier-free-guidance denoise step. Returns (z_prev, eps_guided).
 
     Mirrors the reference hot loop (`fsdp.py:139-153`): duplicate latent for
     [uncond, cond], optionally add the CCI global-context latent to the model
     *input* (`fsdp_chunked_coherent.py:134-137`), guide, then DDIM-update.
+
+    cfg_split=True runs the uncond and cond branches as two sequential UNet
+    calls instead of one 2B batch — halves peak activation memory (the XL
+    1024x576 geometry needs this on a single 16 GB chip) at slightly lower
+    MXU occupancy. Bit-different program from the batched path, so prover and
+    verifier must agree on the flag (it is part of the step-program identity).
     """
     t = sched.timesteps[step_index]
     b = z.shape[0]
-    x = jnp.concatenate([z, z], axis=0)
+    x = z
     if context_latent is not None and context_weight > 0.0:
-        ctx_lat = context_latent.astype(x.dtype)
-        if ctx_lat.shape[0] == b and b > 1:
-            ctx_lat = jnp.concatenate([ctx_lat, ctx_lat], axis=0)  # CFG pair
-        x = x + jnp.asarray(context_weight, x.dtype) * ctx_lat
-    ctx = jnp.concatenate([uncond, cond], axis=0)
-    ts = jnp.full((2 * b,), t, jnp.int32)
-    eps_pair = unet_apply(unet_params, x, ts, ctx, frame_positions)
-    eps_u, eps_c = jnp.split(eps_pair, 2, axis=0)
+        ctx_lat = context_latent.astype(z.dtype)
+        x = z + jnp.asarray(context_weight, z.dtype) * ctx_lat
+    ts = jnp.full((b,), t, jnp.int32)
+    if cfg_split:
+        eps_u = unet_apply(unet_params, x, ts, uncond, frame_positions)
+        eps_c = unet_apply(unet_params, x, ts, cond, frame_positions)
+    else:
+        x2 = jnp.concatenate([x, x], axis=0)
+        ctx = jnp.concatenate([uncond, cond], axis=0)
+        ts2 = jnp.concatenate([ts, ts], axis=0)
+        eps_pair = unet_apply(unet_params, x2, ts2, ctx, frame_positions)
+        eps_u, eps_c = jnp.split(eps_pair, 2, axis=0)
     eps = eps_u + jnp.asarray(guidance_scale, eps_u.dtype) * (eps_c - eps_u)
     z_prev = ddim_step(sched, step_index, z, eps)
     return z_prev, eps
@@ -163,6 +175,7 @@ def denoise(
     context_weight: float = 0.0,
     record: bool = False,
     step_range: Optional[Tuple[int, int]] = None,
+    cfg_split: bool = False,
 ):
     """Denoise loop as lax.scan over steps [a, b) of the schedule
     (default: all). z0: (B, F, h, w, C).
@@ -180,6 +193,7 @@ def denoise(
         z_prev, eps = cfg_denoise_step(
             unet_apply, unet_params, sched, z, step_index, cond, uncond,
             guidance_scale, frame_positions, context_latent, context_weight,
+            cfg_split=cfg_split,
         )
         out = (z, eps) if record else None
         return z_prev, out
@@ -209,6 +223,7 @@ def generate_core(
     context_weight: float = 0.0,
     record: bool = False,
     latent_dtype=jnp.bfloat16,
+    cfg_split: bool = False,
 ):
     """Pure jittable core: tokens + seed -> decoded frames (F, H, W, 3) f32.
 
@@ -233,7 +248,7 @@ def generate_core(
     out = denoise(
         unet_apply, params["unet"], sched, z0, cond, uncond,
         guidance_scale, context_latent=ctx, context_weight=context_weight,
-        record=record,
+        record=record, cfg_split=cfg_split,
     )
     if record:
         z_final, zs, epss = out
