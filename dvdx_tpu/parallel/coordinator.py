@@ -77,16 +77,43 @@ def run_coordinated(
                 os.path.abspath(__file__))))))
         procs.append((launch(cmd), out, i))
 
+    def collect(procs):
+        failures = []
+        for proc, out, i in procs:
+            stdout, stderr = proc.communicate(timeout=600)
+            if proc.returncode != 0 or not os.path.exists(out):
+                failures.append((i, (stderr or b"")[-400:].decode(errors="replace")))
+                continue
+            chunks[i] = np.load(out)["latent"]
+        return failures
+
     chunks: List[Optional[np.ndarray]] = [None] * plan.num_chunks
-    failures = []
-    for proc, out, i in procs:
-        stdout, stderr = proc.communicate(timeout=600)
-        if proc.returncode != 0 or not os.path.exists(out):
-            failures.append((i, (stderr or b"")[-400:].decode(errors="replace")))
-            continue
-        chunks[i] = np.load(out)["latent"]
+    failures = collect(procs)
     if failures:
-        raise RuntimeError(f"workers failed: {failures}")
+        # elastic recovery (absent in the reference, SURVEY.md §5): chunk
+        # inputs are pure functions of (seed, range), so any failed chunk can
+        # be re-derived by a fresh worker — retry once before giving up
+        retry = []
+        bounds = chunk_bounds(plan)
+        for i, _err in failures:
+            start, end = bounds[i]
+            out = os.path.join(workdir, f"chunk_{i}_retry.npz")
+            cmd = [sys.executable, "-m", "dvdx_tpu.parallel.worker",
+                   "--model", model, "--prompt", prompt, "--seed", str(seed),
+                   "--start", str(start), "--length", str(end - start),
+                   "--width", str(width), "--height", str(height),
+                   "--steps", str(steps), "--out", out]
+            if cpu:
+                cmd.append("--cpu")
+            if perturb:
+                cmd.append("--perturb")
+            retry.append(((launcher or (lambda c: subprocess.Popen(
+                c, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                cwd=os.path.dirname(os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__)))))))(cmd), out, i))
+        failures = collect(retry)
+        if failures:
+            raise RuntimeError(f"workers failed after retry: {failures}")
     worker_s = time.time() - t0
 
     latent = stitch_chunks(chunks, plan)  # (F, lh, lw, C)
