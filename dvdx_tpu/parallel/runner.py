@@ -36,7 +36,7 @@ import numpy as np
 
 CSV_COLUMNS = [
     "timestamp", "mode", "world_size", "mesh", "model", "width", "height",
-    "frames", "steps", "num_chunks", "overlap", "context_weight", "emu",
+    "frames", "steps", "batch", "num_chunks", "overlap", "context_weight", "emu",
     "latency_s", "compute_s", "throughput_fps", "peak_mem_mb", "end_mem_mb",
     "param_mb_per_device", "network_bytes", "net_gather_s", "net_reduce_s",
     "temp_instab", "flow_err",
@@ -122,7 +122,8 @@ def run_one(args) -> dict:
     runner = build_runner(pipe, strategy, mesh, num_frames=args.frames,
                           height=args.height, width=args.width,
                           num_steps=args.steps,
-                          guidance_scale=args.guidance_scale)
+                          guidance_scale=args.guidance_scale,
+                          batch_size=args.batch)
     ids = jnp.asarray(tokenize_batch(["", args.prompt],
                                      pipe.spec.text.vocab_size,
                                      pipe.spec.text.max_length))
@@ -155,6 +156,8 @@ def run_one(args) -> dict:
 
     peak_mb, end_mb = device_mem_mb()
     video = np.asarray(((frames + 1.0) * 127.5).clip(0, 255).astype(jnp.uint8))
+    if args.batch > 1:
+        video = video[0]  # boundary metrics on the first sample
 
     # boundary temporal metrics (reference chunk_only.py:183-208)
     temp_instab = flow_err = 0.0
@@ -185,9 +188,10 @@ def run_one(args) -> dict:
         "overlap": strategy.overlap if strategy.chunked else 0,
         "context_weight": strategy.context_weight,
         "emu": args.emu,
+        "batch": args.batch,
         "latency_s": round(latency_s, 4),
         "compute_s": round(compute_s, 4),
-        "throughput_fps": round(args.frames / latency_s, 3),
+        "throughput_fps": round(args.batch * args.frames / latency_s, 3),
         "peak_mem_mb": round(peak_mb, 1),
         "end_mem_mb": round(end_mb, 1),
         "param_mb_per_device": round(
@@ -225,6 +229,8 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--num_chunks", type=int, default=0)
     ap.add_argument("--overlap", type=int, default=None)
     ap.add_argument("--context_weight", type=float, default=None)
+    ap.add_argument("--batch", type=int, default=1,
+                    help="videos per run, sharded over the data mesh axis")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--param_seed", type=int, default=0)
     ap.add_argument("--perturb", action="store_true",
