@@ -262,6 +262,72 @@ def generate_core(
     return frames
 
 
+def build_segmented_runner(
+    pipe: Pipeline,
+    *,
+    num_frames: int,
+    height: int,
+    width: int,
+    num_steps: int,
+    guidance_scale: float = 7.5,
+    segment_steps: int = 10,
+    cfg_split: bool = False,
+    latent_dtype=jnp.bfloat16,
+):
+    """Generation split into bounded device launches.
+
+    One jitted program covers `segment_steps` denoise steps with a *traced*
+    start offset, so the host loop reuses a single compilation. Motivation:
+    very long single executions (XL 50-step scans, minutes of device time)
+    can exceed runtime RPC limits and preclude progress reporting; segments
+    bound per-launch wall time with negligible dispatch overhead. Numerics
+    are identical to the fused scan (same step program, same order).
+
+    Returns run(params, token_ids, noise_key) -> frames (F, H, W, 3) f32.
+    """
+    spec = pipe.spec
+    ds = spec.vae.downscale
+    lh, lw = height // ds, width // ds
+    c = spec.latent_channels
+    sched = make_ddim_schedule(num_steps, prediction_type=spec.prediction_type)
+
+    enc = jax.jit(lambda p, ids: pipe.text_encoder.apply(p["text"], ids)[0])
+    noise = jax.jit(lambda k: rng_ops.video_noise(k, num_frames, (lh, lw, c),
+                                                  jnp.float32))
+    dec = jax.jit(lambda p, z: decode_frames_tiled(pipe.vae_decoder.apply,
+                                                   p["vae_dec"],
+                                                   z.astype(jnp.float32)))
+
+    seg_cache: Dict[int, Any] = {}
+
+    def seg_fn(length: int):
+        if length not in seg_cache:
+            def seg(params, z, cond, uncond, start):
+                def body(z, i):
+                    z2, _ = cfg_denoise_step(
+                        pipe.unet.apply, params["unet"], sched, z, start + i,
+                        cond, uncond, guidance_scale, cfg_split=cfg_split)
+                    return z2, None
+                z, _ = jax.lax.scan(body, z, jnp.arange(length))
+                return z
+
+            seg_cache[length] = jax.jit(seg)
+        return seg_cache[length]
+
+    def run(params, token_ids, noise_key):
+        hidden = enc(params, token_ids)
+        uncond, cond = hidden[0:1], hidden[1:2]
+        z = noise(noise_key)[None].astype(latent_dtype)
+        start = 0
+        while start < num_steps:
+            length = min(segment_steps, num_steps - start)
+            z = seg_fn(length)(params, z, cond, uncond, jnp.int32(start))
+            start += length
+        return dec(params, z[0])
+
+    return run
+
+
 def generate(
     pipe: Pipeline,
     prompt: str,
@@ -275,9 +341,11 @@ def generate(
     guidance_scale: Optional[float] = None,
     context_weight: float = 0.0,
     record: bool = False,
+    cfg_split: bool = False,
 ):
     """User-facing generation. Returns frames as uint8 (F, H, W, 3) ndarray,
-    plus (zs, epss, timesteps) when record=True."""
+    plus (zs, epss, timesteps) when record=True. cfg_split trades a little
+    MXU occupancy for half the activation memory (XL geometry on one chip)."""
     spec = pipe.spec
     num_frames = num_frames or spec.default_frames
     height = height or spec.default_height
@@ -287,7 +355,8 @@ def generate(
         guidance_scale = spec.default_guidance_scale
 
     fn, sched = pipe.generator(num_frames, height, width, num_steps,
-                               guidance_scale, context_weight, record)
+                               guidance_scale, context_weight, record,
+                               cfg_split=cfg_split)
     ids = tokenize_batch([negative_prompt, prompt], spec.text.vocab_size, spec.text.max_length)
     out = fn(pipe.params, jnp.asarray(ids), rng_ops.base_key(seed))
     if record:

@@ -46,3 +46,26 @@ def test_cci_context_changes_output(tiny_pipeline):
     b = generate(tiny_pipeline, "city", seed=5, num_frames=2, height=32,
                  width=32, num_steps=2, context_weight=0.35)
     assert not np.array_equal(a, b)
+
+
+def test_segmented_runner_matches_fused(tiny_pipeline):
+    """Segment-launched denoise must equal the fused-scan generator bitwise
+    (same step program, same order) — it only changes launch granularity."""
+    import jax.numpy as jnp
+
+    from dvdx_tpu.models.text_encoder import tokenize_batch
+    from dvdx_tpu.ops import rng as rng_ops
+    from dvdx_tpu.pipelines.text2video import build_segmented_runner
+
+    pipe = tiny_pipeline
+    run = build_segmented_runner(pipe, num_frames=2, height=32, width=32,
+                                 num_steps=5, guidance_scale=7.5,
+                                 segment_steps=2)
+    ids = jnp.asarray(tokenize_batch(["", "segments"], pipe.spec.text.vocab_size,
+                                     pipe.spec.text.max_length))
+    key = rng_ops.base_key(3)
+    frames_seg = np.asarray(run(pipe.params, ids, key))
+
+    fn, _ = pipe.generator(2, 32, 32, 5, 7.5, 0.0, False)
+    frames_fused = np.asarray(fn(pipe.params, ids, key))
+    np.testing.assert_allclose(frames_seg, frames_fused, atol=1e-5)
