@@ -28,11 +28,15 @@ def main():
 
     from dvdx_tpu.models.text_encoder import tokenize_batch
     from dvdx_tpu.ops import rng as rng_ops
-    from dvdx_tpu.pipelines.text2video import build_pipeline
+    from dvdx_tpu.pipelines.text2video import build_pipeline, build_segmented_runner
 
     pipe = build_pipeline("zeroscope-v2-xl", seed=0)
-    fn, _ = pipe.generator(24, 576, 1024, 50, guidance_scale=7.5,
-                           context_weight=0.0, record=False, cfg_split=True)
+    # segmented launches: the full 50-step scan is ~90 s of device time in one
+    # execution, which exceeds the runtime's RPC execution window — 10-step
+    # segments are bitwise-identical and bound each launch to ~20 s
+    run = build_segmented_runner(pipe, num_frames=24, height=576, width=1024,
+                                 num_steps=50, guidance_scale=7.5,
+                                 segment_steps=10, cfg_split=True)
     ids = jnp.asarray(tokenize_batch(["", "a sailboat in a storm"],
                                      pipe.spec.text.vocab_size,
                                      pipe.spec.text.max_length))
@@ -40,11 +44,11 @@ def main():
     params = jax.device_put(pipe.params)
 
     t0 = time.time()
-    frames = fn(params, ids, key)
+    frames = run(params, ids, key)
     jax.block_until_ready(frames)
     compile_s = time.time() - t0
     t0 = time.time()
-    frames = fn(params, ids, key)
+    frames = run(params, ids, key)
     jax.block_until_ready(frames)
     sec = time.time() - t0
     print(json.dumps({
