@@ -39,7 +39,12 @@ from .base import Neuron, Registry
 
 @dataclasses.dataclass
 class MinerConfig:
-    max_stored_proofs: int = 16       # LRU of reveal-able traces
+    max_stored_proofs: int = 16       # in-memory LRU of reveal-able traces
+    spool_dir: str = ""               # optional disk spool: traces survive LRU
+                                      # eviction and process restarts (reveals
+                                      # after eviction otherwise fail the
+                                      # miner's audit through no fault)
+    max_spooled_proofs: int = 256
     min_validator_stake: int = 0      # blacklist threshold (miner.py:760-792)
     max_frames: int = 64
     max_steps: int = 100
@@ -146,14 +151,62 @@ class Miner(Neuron):
             gen_time_s=gen_s,
         )
 
+    def _spool_path(self, request_id: str) -> Optional[str]:
+        import os
+        import re
+
+        if not self.config.spool_dir:
+            return None
+        safe = re.sub(r"[^A-Za-z0-9_.-]", "_", request_id)
+        return os.path.join(self.config.spool_dir, f"trace_{safe}.npz")
+
     def _store_proof(self, request_id: str, commitment: MerkleCommitment):
         self._proofs[request_id] = commitment
         while len(self._proofs) > self.config.max_stored_proofs:
             self._proofs.popitem(last=False)
+        path = self._spool_path(request_id)
+        if path:
+            import os
+
+            os.makedirs(self.config.spool_dir, exist_ok=True)
+            np.savez(path, timesteps=commitment.timesteps,
+                     zs=commitment.zs.view(np.uint16),
+                     epss=commitment.epss.view(np.uint16),
+                     dtype=str(commitment.zs.dtype))
+            self._prune_spool()
+
+    def _prune_spool(self):
+        import glob
+        import os
+
+        files = sorted(glob.glob(os.path.join(self.config.spool_dir, "trace_*.npz")),
+                       key=os.path.getmtime)
+        for f in files[: max(0, len(files) - self.config.max_spooled_proofs)]:
+            os.unlink(f)
+
+    def _load_proof(self, request_id: str) -> Optional[MerkleCommitment]:
+        com = self._proofs.get(request_id)
+        if com is not None:
+            return com
+        path = self._spool_path(request_id)
+        if path:
+            import os
+
+            if os.path.exists(path):
+                import ml_dtypes
+
+                d = np.load(path, allow_pickle=False)
+                dt = np.dtype(ml_dtypes.bfloat16) if str(d["dtype"]) == "bfloat16" \
+                    else np.dtype(str(d["dtype"]))
+                com = MerkleCommitment(d["timesteps"], d["zs"].view(dt),
+                                       d["epss"].view(dt))
+                self._proofs[request_id] = com  # warm the LRU
+                return com
+        return None
 
     def handle_reveal(self, req: P.RevealRequest) -> P.RevealResponse:
         self.metrics["reveals"] += 1
-        com = self._proofs.get(req.request_id)
+        com = self._load_proof(req.request_id)
         if com is None:
             return P.RevealResponse(request_id=req.request_id, status="error",
                                     error="unknown request")

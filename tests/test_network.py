@@ -178,3 +178,40 @@ def test_honest_video_binding_within_codec_tolerance(tiny_pipeline_module):
     assert d["checks"].get("video_binding") is True
     assert d["video_binding_err"] < 0.12
     assert d["score"] > 0
+
+
+def test_miner_spool_survives_lru_eviction(tiny_pipeline_module, tmp_path):
+    """Reveals must work after the in-memory LRU evicts a trace (disk spool)."""
+    from dvdx_tpu.network.base import Registry
+    from dvdx_tpu.network.miner import Miner, MinerConfig
+    from dvdx_tpu.verify.proof import Keypair
+
+    reg = Registry()
+    vkp = Keypair.from_seed(b"spool-validator")
+    reg.register(vkp.public_bytes, "v", role="validator", stake=100)
+    cfg = MinerConfig(max_stored_proofs=1, spool_dir=str(tmp_path))
+    miner = Miner(tiny_pipeline_module, Keypair.from_seed(b"spool-miner"),
+                  reg, cfg)
+
+    def ask(rid, seed):
+        return miner.handle(P.InferenceRequest(
+            request_id=rid, prompt="spool", width=32, height=32, num_frames=2,
+            num_steps=2, seed=seed, challenge=b"\x01" * 32,
+            validator_pubkey=vkp.public_bytes))
+
+    r1 = ask("sp-1", 1)
+    r2 = ask("sp-2", 2)   # evicts sp-1 from the size-1 LRU
+    assert r1.status == "ok" and r2.status == "ok"
+    reveal = miner.handle(P.RevealRequest(request_id="sp-1",
+                                          merkle_root=r1.merkle_root,
+                                          leaf_indices=[0, 1]))
+    assert reveal.status == "ok", reveal.error
+    # revealed bytes still verify against the original root
+    from dvdx_tpu.verify.merkle import leaf_hash, verify_merkle_proof
+    import ml_dtypes
+
+    idx, t, zb, eb, path = reveal.leaves[0]
+    dt = np.dtype(ml_dtypes.bfloat16)
+    lh = leaf_hash(int(t), np.frombuffer(zb, dt), np.frombuffer(eb, dt))
+    assert verify_merkle_proof(lh, [(bytes(h), bool(r)) for h, r in path],
+                               r1.merkle_root)
