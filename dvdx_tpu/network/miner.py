@@ -21,8 +21,11 @@ from __future__ import annotations
 
 import collections
 import dataclasses
+import glob
 import hashlib
 import io
+import os
+import re
 import time
 from typing import Dict, Optional, Tuple
 
@@ -152,9 +155,6 @@ class Miner(Neuron):
         )
 
     def _spool_path(self, request_id: str) -> Optional[str]:
-        import os
-        import re
-
         if not self.config.spool_dir:
             return None
         safe = re.sub(r"[^A-Za-z0-9_.-]", "_", request_id)
@@ -166,8 +166,6 @@ class Miner(Neuron):
             self._proofs.popitem(last=False)
         path = self._spool_path(request_id)
         if path:
-            import os
-
             os.makedirs(self.config.spool_dir, exist_ok=True)
             np.savez(path, timesteps=commitment.timesteps,
                      zs=commitment.zs.view(np.uint16),
@@ -176,9 +174,6 @@ class Miner(Neuron):
             self._prune_spool()
 
     def _prune_spool(self):
-        import glob
-        import os
-
         files = sorted(glob.glob(os.path.join(self.config.spool_dir, "trace_*.npz")),
                        key=os.path.getmtime)
         for f in files[: max(0, len(files) - self.config.max_spooled_proofs)]:
@@ -189,19 +184,16 @@ class Miner(Neuron):
         if com is not None:
             return com
         path = self._spool_path(request_id)
-        if path:
-            import os
+        if path and os.path.exists(path):
+            import ml_dtypes
 
-            if os.path.exists(path):
-                import ml_dtypes
-
-                d = np.load(path, allow_pickle=False)
-                dt = np.dtype(ml_dtypes.bfloat16) if str(d["dtype"]) == "bfloat16" \
-                    else np.dtype(str(d["dtype"]))
-                com = MerkleCommitment(d["timesteps"], d["zs"].view(dt),
-                                       d["epss"].view(dt))
-                self._proofs[request_id] = com  # warm the LRU
-                return com
+            d = np.load(path, allow_pickle=False)
+            dt = np.dtype(ml_dtypes.bfloat16) if str(d["dtype"]) == "bfloat16" \
+                else np.dtype(str(d["dtype"]))
+            com = MerkleCommitment(d["timesteps"], d["zs"].view(dt),
+                                   d["epss"].view(dt))
+            self._proofs[request_id] = com  # warm the LRU
+            return com
         return None
 
     def handle_reveal(self, req: P.RevealRequest) -> P.RevealResponse:

@@ -57,11 +57,15 @@ def run_coordinated(
     plan = plan_chunks(num_frames, num_chunks, overlap)
     workdir = workdir or tempfile.mkdtemp(prefix="dvdx_coord_")
     os.makedirs(workdir, exist_ok=True)
+    bounds = chunk_bounds(plan)
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    launch = launcher or (lambda c: subprocess.Popen(
+        c, stdout=subprocess.PIPE, stderr=subprocess.PIPE, cwd=repo_root))
 
-    procs = []
-    t0 = time.time()
-    for i, (start, end) in enumerate(chunk_bounds(plan)):
-        out = os.path.join(workdir, f"chunk_{i}.npz")
+    def launch_worker(i: int, tag: str = ""):
+        start, end = bounds[i]
+        out = os.path.join(workdir, f"chunk_{i}{tag}.npz")
         cmd = [sys.executable, "-m", "dvdx_tpu.parallel.worker",
                "--model", model, "--prompt", prompt, "--seed", str(seed),
                "--start", str(start), "--length", str(end - start),
@@ -71,11 +75,10 @@ def run_coordinated(
             cmd.append("--cpu")
         if perturb:
             cmd.append("--perturb")
-        launch = launcher or (lambda c: subprocess.Popen(
-            c, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
-            cwd=os.path.dirname(os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__))))))
-        procs.append((launch(cmd), out, i))
+        return launch(cmd), out, i
+
+    t0 = time.time()
+    procs = [launch_worker(i) for i in range(plan.num_chunks)]
 
     def collect(procs):
         failures = []
@@ -93,25 +96,7 @@ def run_coordinated(
         # elastic recovery (absent in the reference, SURVEY.md §5): chunk
         # inputs are pure functions of (seed, range), so any failed chunk can
         # be re-derived by a fresh worker — retry once before giving up
-        retry = []
-        bounds = chunk_bounds(plan)
-        for i, _err in failures:
-            start, end = bounds[i]
-            out = os.path.join(workdir, f"chunk_{i}_retry.npz")
-            cmd = [sys.executable, "-m", "dvdx_tpu.parallel.worker",
-                   "--model", model, "--prompt", prompt, "--seed", str(seed),
-                   "--start", str(start), "--length", str(end - start),
-                   "--width", str(width), "--height", str(height),
-                   "--steps", str(steps), "--out", out]
-            if cpu:
-                cmd.append("--cpu")
-            if perturb:
-                cmd.append("--perturb")
-            retry.append(((launcher or (lambda c: subprocess.Popen(
-                c, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
-                cwd=os.path.dirname(os.path.dirname(os.path.dirname(
-                    os.path.abspath(__file__)))))))(cmd), out, i))
-        failures = collect(retry)
+        failures = collect([launch_worker(i, "_retry") for i, _err in failures])
         if failures:
             raise RuntimeError(f"workers failed after retry: {failures}")
     worker_s = time.time() - t0
