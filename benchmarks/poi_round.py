@@ -45,7 +45,8 @@ def main(argv=None):
     pipe = build_pipeline(args.model, seed=0)
     cfg = ValidatorConfig(sample_size=1, num_checkpoints=args.checkpoints,
                           num_frames=args.frames, width=args.width,
-                          height=args.height, num_steps=args.steps)
+                          height=args.height, num_steps=args.steps,
+                          timeout_s=3600.0)  # cold compiles exceed the default
     net = build_mock_network(n_miners=1, pipeline=pipe, validator_config=cfg)
 
     # warm both programs (compile excluded, like all benchmarks here)

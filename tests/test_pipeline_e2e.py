@@ -69,3 +69,15 @@ def test_segmented_runner_matches_fused(tiny_pipeline):
     fn, _ = pipe.generator(2, 32, 32, 5, 7.5, 0.0, False)
     frames_fused = np.asarray(fn(pipe.params, ids, key))
     np.testing.assert_allclose(frames_seg, frames_fused, atol=1e-5)
+
+
+def test_cfg_split_matches_batched(tiny_pipeline):
+    """Sequential-CFG must match the batched-CFG program numerically (same
+    math, different batching)."""
+    a = generate(tiny_pipeline, "split check", seed=6, num_frames=2, height=32,
+                 width=32, num_steps=2, cfg_split=False)
+    b = generate(tiny_pipeline, "split check", seed=6, num_frames=2, height=32,
+                 width=32, num_steps=2, cfg_split=True)
+    np.testing.assert_allclose(a.astype(np.float32), b.astype(np.float32),
+                               atol=2.0)  # uint8 scale; f32 reorder noise only
+    assert np.mean(np.abs(a.astype(np.float32) - b.astype(np.float32))) < 0.2
