@@ -215,3 +215,18 @@ def test_miner_spool_survives_lru_eviction(tiny_pipeline_module, tmp_path):
     lh = leaf_hash(int(t), np.frombuffer(zb, dt), np.frombuffer(eb, dt))
     assert verify_merkle_proof(lh, [(bytes(h), bool(r)) for h, r in path],
                                r1.merkle_root)
+
+
+def test_segment_recording_bitwise(tiny_pipeline_module):
+    """Segment-recorded traces must be BITWISE identical to per-step recording
+    — the PoI determinism contract between miner (segments) and validator
+    (single-step re-execution)."""
+    from dvdx_tpu.verify.spotcheck import StepEngine
+
+    eng = StepEngine(tiny_pipeline_module)
+    kw = dict(seed=9, num_frames=2, height=32, width=32, num_steps=5,
+              guidance_scale=7.5)
+    _, zs1, eps1, _ = eng.generate_recorded("segment probe", segment_steps=1, **kw)
+    _, zs2, eps2, _ = eng.generate_recorded("segment probe", segment_steps=2, **kw)
+    assert zs1.tobytes() == zs2.tobytes()
+    assert eps1.tobytes() == eps2.tobytes()
