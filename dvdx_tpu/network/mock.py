@@ -156,3 +156,55 @@ def build_mock_network(
 
     return MockNetwork(registry=registry, ledger=ledger, transport=transport,
                        validator=validator, miners=miners)
+
+
+def demo(argv=None):
+    """One-command full-network demo:
+      python -m dvdx_tpu.network.mock [--miners 3] [--adversaries lazy,wrong_video]
+    Runs deposit -> generation -> verification -> rewards in-process and
+    prints the round report summary."""
+    import argparse
+    import asyncio
+    import json
+
+    ap = argparse.ArgumentParser(description="dvdx mock network demo")
+    ap.add_argument("--miners", type=int, default=3)
+    ap.add_argument("--adversaries", default="",
+                    help="comma list: lazy | wrong_seed | wrong_video")
+    ap.add_argument("--prompt", default="a red panda climbing a snowy tree")
+    ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from .validator import ValidatorConfig
+
+    adv = [a for a in args.adversaries.split(",") if a]
+    cfg = ValidatorConfig(sample_size=args.miners, num_checkpoints=args.steps,
+                          num_frames=2, width=32, height=32,
+                          num_steps=args.steps)
+    net = build_mock_network(n_miners=args.miners, adversaries=adv,
+                             validator_config=cfg)
+    report = asyncio.new_event_loop().run_until_complete(
+        net.run_request("demo", args.prompt))
+    out = {
+        "prompt": args.prompt,
+        "miners": {
+            uid: {"score": round(d["score"], 3),
+                  "cheat": d.get("cheat", False),
+                  "failed_check": d.get("failed_check"),
+                  "bitwise": d.get("reexec_bitwise")}
+            for uid, d in report["miners"].items()
+        },
+        "ledger": net.ledger.snapshot()["requests"]["demo"]["status"],
+        "stakes": dict(net.ledger.stakes),
+    }
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    demo()
