@@ -3,9 +3,12 @@
 Reference: `/root/reference/Economics/core/security_analysis.py` — Monte-Carlo
 EV over a (gamma, alpha, f) grid with hypergeometric spot-check detection
 p_detect(T,m,k) = 1 - C(T-m,k)/C(T,k) (:27-29), a K_CUT=60-epoch loop with
-kappa-clipped validator weights, stake slashing, trust decay on caught and
-honest drift eta (:32-67), discounted (beta=0.95) with a geometric tail, and
-worst case over the number of tampered steps m (:70-99, joblib-parallel).
+stake slashing, trust decay on caught and honest drift eta (:32-67),
+discounted (beta=0.95) with a geometric tail, and worst case over the number
+of tampered steps m (:70-99, joblib-parallel). This module models a SINGLE
+miner's EV, where the reference's kappa-clipped validator weight matrix
+reduces to the trust-scaled emission share; `kappa_clip` is exported for the
+multi-miner weight computation (used by network.base.ScoreBook semantics).
 
 TPU-native rewrite: the epoch loop is fully vectorised over
 (grid cells x tampered-step counts x Monte-Carlo paths) in one numpy program —

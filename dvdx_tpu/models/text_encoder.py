@@ -76,7 +76,7 @@ class _TextBlock(nn.Module):
     cfg: TextEncoderConfig
 
     @nn.compact
-    def __call__(self, x: jax.Array, mask: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array) -> jax.Array:
         cfg = self.cfg
         dt = cfg.compute_dtype
         head_dim = cfg.hidden_size // cfg.num_heads
@@ -115,12 +115,13 @@ class CLIPTextEncoder(nn.Module):
         dt = cfg.compute_dtype
         b, s = input_ids.shape
         tok = nn.Embed(cfg.vocab_size, cfg.hidden_size, dtype=dt, name="token_embedding")(input_ids)
-        pos = self.param("position_embedding", nn.initializers.normal(0.01),
+        pos = self.param("position_embedding", nn.initializers.normal(0.02),
                          (cfg.max_length, cfg.hidden_size))
         x = tok + pos[None, :s].astype(dt)
-        mask = (input_ids != PAD_ID)
+        # CLIP-style: causal mask only; padding influence is cut by pooling at
+        # the (first) EOS position rather than by masking logits
         for i in range(cfg.num_layers):
-            x = _TextBlock(cfg, name=f"layer{i}")(x, mask)
+            x = _TextBlock(cfg, name=f"layer{i}")(x)
         x = nn.LayerNorm(dtype=dt, name="final_ln")(x)
         # pooled = hidden at EOS position (CLIP convention)
         eos_pos = jnp.argmax(input_ids == EOS_ID, axis=-1)

@@ -56,6 +56,10 @@ class ValidatorConfig:
     trust_decay: float = 0.8        # gamma
     slash_fraction: float = 0.1     # f*
     timeout_s: float = 300.0        # dendrite timeout (validator.py:434)
+    # MD-VQS weights (reference 0.4/0.3/0.3, scoring.py:154-213)
+    mdvqs_alpha: float = 0.4
+    mdvqs_beta: float = 0.3
+    mdvqs_gamma: float = 0.3
     video_binding: bool = True      # bind delivered video to committed trace
     binding_max_err: float = 0.12   # codec-lossy tolerance (mean abs, [-1,1])
     results_dir: str = "generated_videos"
@@ -82,7 +86,10 @@ class Validator(Neuron):
         self.config = config or ValidatorConfig()
         self.scores = ScoreBook(alpha=self.config.ema_alpha,
                                 kappa_limit=self.config.kappa_limit)
-        self.scorer = scorer or MDVQS(CLIPScorer.build())
+        self.scorer = scorer or MDVQS(CLIPScorer.build(),
+                                      alpha=self.config.mdvqs_alpha,
+                                      beta=self.config.mdvqs_beta,
+                                      gamma=self.config.mdvqs_gamma)
         self.metrics = {"rounds": 0, "responses": 0, "failures": 0,
                         "cheats_detected": 0, "reexec_steps": 0}
         self._audit_rng = np.random.default_rng(0)

@@ -67,6 +67,14 @@ def video_noise(key: jax.Array, num_frames: int, shape, dtype=jnp.float32) -> ja
     return frame_range_noise(key, 0, num_frames, shape, dtype)
 
 
+AUX_SALT = 0xAE0B5EED  # keeps aux streams disjoint from frame-index folds
+
+
 def aux_noise(key: jax.Array, x: jax.Array, tag: int) -> jax.Array:
-    """Auxiliary deterministic noise stream (e.g. stochastic DDIM eta>0)."""
-    return jax.random.normal(jax.random.fold_in(key, jnp.uint32(tag)), x.shape, x.dtype)
+    """Auxiliary deterministic noise stream (e.g. SVD conditioning
+    augmentation, stochastic DDIM eta>0). Salted into a key domain disjoint
+    from frame_noise's fold_in(frame_idx) — without the salt, aux tag t would
+    be bit-identical to base-noise frame t."""
+    k = jax.random.fold_in(key, jnp.uint32(AUX_SALT))
+    k = jax.random.fold_in(k, jnp.uint32(tag))
+    return jax.random.normal(k, x.shape, x.dtype)

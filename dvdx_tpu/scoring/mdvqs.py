@@ -104,7 +104,10 @@ def perceptual_distance_pairs(frames: jax.Array) -> jax.Array:
     d = jnp.float32(0.0)
     for xa, xb in zip(fa, fb):
         d = d + jnp.mean(jnp.sum((xa - xb) ** 2, axis=-1))
-    return d / len(fa)
+    # unit-normalised features: E||a-b||^2 = 2 for uncorrelated frames, so
+    # divide by 2*scales -> distance ~[0,1] like LPIPS (identical frames 0,
+    # unrelated content ~1); without this, any real motion saturates VQ to 0
+    return d / (2.0 * len(fa))
 
 
 # --- optical flow temporal consistency --------------------------------------

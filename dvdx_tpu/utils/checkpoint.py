@@ -67,7 +67,8 @@ def fetch_checkpoint(src: str, dst: str, *, retries: int = 5,
             return dst
         except Exception as e:  # noqa: BLE001 — retry everything, like the ref
             last_err = e
-            time.sleep(backoff_s * (2**attempt))
+            if attempt < retries - 1:
+                time.sleep(backoff_s * (2**attempt))
     raise RuntimeError(f"checkpoint fetch failed after {retries} attempts: {last_err}")
 
 

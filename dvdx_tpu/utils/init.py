@@ -9,7 +9,7 @@ Rules (by parameter path, deterministic per (seed, path)):
 * leaf named ``bias``                          -> zeros
 * leaf named ``scale`` (Layer/GroupNorm)       -> ones
 * any path component containing ``_zero``      -> zeros (marked zero-init layers)
-* leaf named ``embedding`` / ``*_embedding``   -> N(0, 0.02)
+* leaf named ``embedding`` / ``*_embedding`` / ``cls_token`` -> N(0, 0.02)
 * other kernels                                -> N(0, 1/sqrt(fan_in)) (lecun)
 
 Exactly mirrors what the flax initializers in models/layers.py produce in
@@ -40,7 +40,7 @@ def _leaf_array(path: str, sds, seed: int) -> np.ndarray:
     rng = np.random.default_rng(
         int.from_bytes(hashlib.sha256(f"{seed}:{path}".encode()).digest()[:8], "big")
     )
-    if "embedding" in name:
+    if "embedding" in name or name == "cls_token":
         return rng.normal(0.0, 0.02, size=shape).astype(dtype)
     # kernel-like: lecun normal over fan_in = prod(all dims but last)
     fan_in = max(1, int(np.prod(shape[:-1])))
