@@ -49,10 +49,13 @@ def _pipeline(model: str, perturb: bool, seed: int = 0):
 async def run_miner(args):
     import aiohttp
 
+    from .miner import MinerConfig
+
     pipe = _pipeline(args.model, args.perturb)
     kp = _keypair(args.key_seed, f"miner-{args.port}")
     registry = Registry()
-    miner = Miner(pipe, kp, registry)
+    mcfg = MinerConfig(spool_dir=args.spool_dir) if args.spool_dir else None
+    miner = Miner(pipe, kp, registry, mcfg)
 
     runner, port = await serve_neuron(miner.handle, args.host, args.port)
     address = f"{args.host}:{port}"
@@ -180,6 +183,8 @@ def build_parser():
     m.add_argument("--key-seed", default=None)
     m.add_argument("--stake", type=int, default=10_000)
     m.add_argument("--sync-interval", type=float, default=30.0)
+    m.add_argument("--spool-dir", default="miner_spool",
+                   help="disk spool for reveal-able traces ('' disables)")
 
     v = sub.add_parser("validator")
     v.add_argument("--host", default="127.0.0.1")
