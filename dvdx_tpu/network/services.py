@@ -39,9 +39,15 @@ def _keypair(seed: Optional[str], default_tag: str) -> Keypair:
     return Keypair.from_seed((seed or default_tag).encode())
 
 
-def _pipeline(model: str, perturb: bool, seed: int = 0):
+def _pipeline(model: str, perturb: bool, seed: int = 0, ckpt: str = ""):
     pipe = build_pipeline(model, seed=seed)
-    if perturb:
+    if ckpt:
+        # shared weights via orbax checkpoint (the PoI determinism chain's
+        # weight-distribution step; see utils/checkpoint)
+        from ..utils.checkpoint import load_params
+
+        pipe.params = load_params(ckpt, like=pipe.params)
+    elif perturb:
         pipe.params = perturb_zero_params(pipe.params, seed=99)
     return pipe
 
@@ -51,7 +57,7 @@ async def run_miner(args):
 
     from .miner import MinerConfig
 
-    pipe = _pipeline(args.model, args.perturb)
+    pipe = _pipeline(args.model, args.perturb, ckpt=args.params_ckpt)
     kp = _keypair(args.key_seed, f"miner-{args.port}")
     registry = Registry()
     mcfg = MinerConfig(spool_dir=args.spool_dir) if args.spool_dir else None
@@ -95,7 +101,7 @@ async def run_miner(args):
 
 
 async def run_validator(args):
-    pipe = _pipeline(args.model, args.perturb)
+    pipe = _pipeline(args.model, args.perturb, ckpt=args.params_ckpt)
     kp = _keypair(args.key_seed, "validator")
     registry = Registry()
     ledger = Ledger()
@@ -185,6 +191,8 @@ def build_parser():
     m.add_argument("--sync-interval", type=float, default=30.0)
     m.add_argument("--spool-dir", default="miner_spool",
                    help="disk spool for reveal-able traces ('' disables)")
+    m.add_argument("--params-ckpt", default="",
+                   help="orbax checkpoint of shared model weights")
 
     v = sub.add_parser("validator")
     v.add_argument("--host", default="127.0.0.1")
@@ -203,6 +211,8 @@ def build_parser():
     v.add_argument("--stuck-timeout", type=float, default=600.0)
     v.add_argument("--results-dir", default="generated_videos")
     v.add_argument("--resume", action="store_true")
+    v.add_argument("--params-ckpt", default="",
+                   help="orbax checkpoint of shared model weights")
     return ap
 
 
