@@ -125,7 +125,8 @@ def create_app(ledger: Ledger, listener: DepositListener, registry: Registry,
             stake = int(body.get("stake", 0))
             uid = registry.register(bytes.fromhex(body["pubkey"]),
                                     body["address"], body.get("role", "miner"),
-                                    stake)
+                                    stake,
+                                    platform=str(body.get("platform", "")))
             # dev-faucet semantics: mirror the declared stake onto the ledger
             # so record_submission's staked-miner requirement holds (a real
             # deployment replaces this with an on-chain stake transaction)

@@ -39,6 +39,11 @@ class NeuronInfo:
     trust: float = 1.0
     is_serving: bool = True
     last_seen: float = 0.0
+    # backend pinned at registration ("tpu"/"cpu"/...). The validator trusts
+    # ONLY this pin — never the per-response platform tag — when deciding
+    # whether re-execution must be bitwise; an empty pin means bitwise is
+    # demanded (secure default).
+    platform: str = ""
 
 
 class Registry:
@@ -50,7 +55,7 @@ class Registry:
         self._next_uid = 0
 
     def register(self, pubkey: bytes, address: str, role: str = "miner",
-                 stake: int = 0) -> int:
+                 stake: int = 0, platform: str = "") -> int:
         with self._lock:
             for n in self.neurons.values():
                 if n.pubkey == pubkey:
@@ -59,12 +64,15 @@ class Registry:
                     n.stake = max(n.stake, stake)
                     n.is_serving = True
                     n.last_seen = time.time()
+                    if platform:
+                        n.platform = platform
                     return n.uid
             uid = self._next_uid
             self._next_uid += 1
             self.neurons[uid] = NeuronInfo(uid=uid, pubkey=pubkey, address=address,
                                            role=role, stake=stake,
-                                           last_seen=time.time())
+                                           last_seen=time.time(),
+                                           platform=platform)
             return uid
 
     def get(self, uid: int) -> Optional[NeuronInfo]:
@@ -81,7 +89,8 @@ class Registry:
                                     stake=int(n["stake"]),
                                     trust=float(n.get("trust", 1.0)),
                                     is_serving=bool(n.get("serving", True)),
-                                    last_seen=time.time())
+                                    last_seen=time.time(),
+                                    platform=str(n.get("platform", "")))
         with self._lock:
             self.neurons = fresh
             self._next_uid = max(fresh, default=-1) + 1
@@ -126,6 +135,7 @@ class Registry:
                 str(uid): {
                     "pubkey": n.pubkey.hex(), "address": n.address, "role": n.role,
                     "stake": n.stake, "trust": n.trust, "serving": n.is_serving,
+                    "platform": n.platform,
                 }
                 for uid, n in self.neurons.items()
             }, indent=2)
@@ -207,6 +217,7 @@ class Neuron:
     def pubkey(self) -> bytes:
         return self.keypair.public_bytes
 
-    def register(self, address: str, stake: int = 0):
-        self.uid = self.registry.register(self.pubkey, address, self.role, stake)
+    def register(self, address: str, stake: int = 0, platform: str = ""):
+        self.uid = self.registry.register(self.pubkey, address, self.role,
+                                          stake, platform=platform)
         return self.uid

@@ -143,7 +143,9 @@ def build_mock_network(
                "wrong_video": WrongVideoMiner}[kind]
         miner = cls(pipeline, kp, registry)
         addr = f"mock://miner-{i}"
-        uid = miner.register(addr, stake=stake)
+        import jax
+
+        uid = miner.register(addr, stake=stake, platform=jax.default_backend())
         ledger.mint(f"miner-{uid}", stake)
         ledger.stake(f"miner-{uid}", stake)
         transport.serve(addr, miner.handle)

@@ -77,7 +77,8 @@ async def run_miner(args):
                         f"http://{args.validator_api}/register",
                         json={"pubkey": kp.public_bytes.hex(),
                               "address": address, "role": "miner",
-                              "stake": args.stake},
+                              "stake": args.stake,
+                              "platform": __import__("jax").default_backend()},
                     ) as r:
                         uid = (await r.json()).get("uid")
                     async with sess.get(f"http://{args.validator_api}/registry") as r:

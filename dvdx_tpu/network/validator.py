@@ -12,8 +12,10 @@ API (:971-1035).
 
 TPU-native strengthening: the spot check re-executes the sampled UNet steps
 *exactly* (verify/spotcheck.py) instead of plausibility bounds, and the
-spot-check indices are bound to (merkle_root, challenge) so neither side can
-grind them (verify/proof.sample_spotcheck_pairs).
+spot-check indices are bound to (merkle_root, challenge, post-commit audit
+secret) so neither side can grind them
+(verify/proof.sample_spotcheck_indices). All k re-executions run as ONE
+device launch (verify/spotcheck.verify_revealed_steps).
 """
 
 from __future__ import annotations
@@ -36,7 +38,8 @@ from ..scoring.mdvqs import MDVQS, verify_video_authenticity
 from ..utils.video_io import decode_video
 from ..verify.merkle import leaf_hash, verify_merkle_proof
 from ..verify.proof import Keypair, derive_seed, sample_spotcheck_indices, verify_proof_signature
-from ..verify.spotcheck import StepEngine, compare_arrays, verify_revealed_step
+from ..verify.spotcheck import (StepEngine, binding_frame_indices,
+                                compare_arrays, verify_revealed_steps)
 from . import protocol as P
 from .base import Neuron, Registry, ScoreBook
 from .ledger import Ledger
@@ -62,6 +65,7 @@ class ValidatorConfig:
     mdvqs_gamma: float = 0.3
     video_binding: bool = True      # bind delivered video to committed trace
     binding_max_err: float = 0.12   # codec-lossy tolerance (mean abs, [-1,1])
+    binding_num_frames: int = 2     # secret-derived frames checked per video
     results_dir: str = "generated_videos"
     # request geometry defaults (config.py:89-119 PoC scale)
     width: int = 32
@@ -91,7 +95,8 @@ class Validator(Neuron):
                                       beta=self.config.mdvqs_beta,
                                       gamma=self.config.mdvqs_gamma)
         self.metrics = {"rounds": 0, "responses": 0, "failures": 0,
-                        "cheats_detected": 0, "reexec_steps": 0}
+                        "cheats_detected": 0, "reexec_steps": 0,
+                        "ledger_errors": 0}
         self._audit_rng = np.random.default_rng(0)
 
     # -- round orchestration --
@@ -121,6 +126,7 @@ class Validator(Neuron):
         uids = self.registry.sample_miner_uids(cfg.sample_size, min_stake=1)
         if not uids:
             return {"request_id": request_id, "error": "no miners available"}
+        ledger_error = ""
 
         async def ask(uid):
             info = self.registry.get(uid)
@@ -173,10 +179,16 @@ class Validator(Neuron):
                                                       detail["score"], proof_bytes)
                     except Exception as e:
                         detail["ledger_error"] = str(e)
+                        self.metrics["ledger_errors"] += 1
             try:
                 self.ledger.distribute_rewards("validator", request_id)
-            except Exception:
-                pass
+            except Exception as e:
+                # settlement failure must be visible, not swallowed: the
+                # round report carries it and a metrics counter ticks
+                # (ADVICE r1; the reference also surfaces tx failures,
+                # validator.py:1178-1207)
+                ledger_error = f"distribute_rewards: {e}"
+                self.metrics["ledger_errors"] += 1
 
         report = {
             "request_id": request_id,
@@ -187,6 +199,8 @@ class Validator(Neuron):
             "weights": self.scores.weights(),
             "timestamp": time.time(),
         }
+        if ledger_error:
+            report["ledger_error"] = ledger_error
         self._write_results(request_id, report, per_miner)
         return report
 
@@ -288,16 +302,21 @@ class Validator(Neuron):
         # verify/proof.sample_spotcheck_indices). Publishing the secret in the
         # round report lets third parties audit the sampling.
         audit_secret = secrets.token_bytes(16)
-        checks = sample_spotcheck_indices(resp.merkle_root, req.challenge,
-                                          req.num_steps, cfg.num_checkpoints,
-                                          secret=audit_secret)
-        # step T-1 is ALWAYS re-executed: the video-trace binding decodes the
-        # latent derived from eps_{T-1}, so an unverified final eps would let
-        # a miner bind an arbitrary cached video.
-        checks = sorted(set(checks) | {req.num_steps - 1})
-        # index 0 is always revealed: binds the trace to the seed-derived base
-        # noise, closing the replay/self-consistent-trace hole (a WrongSeed
-        # adversary passes re-execution but fails this).
+        # k-budget: step T-1 is ALWAYS re-executed (the video-trace binding
+        # decodes the latent derived from eps_{T-1}, so an unverified final
+        # eps would let a miner bind an arbitrary cached video) and COUNTS
+        # toward the k = num_checkpoints budget; the remaining k-1 are
+        # sampled uniformly from [0, T-1). Total re-executed steps is thus
+        # exactly k (<10% of the schedule at the reference's T>=30 configs,
+        # BASELINE.md), not k+1 as in round 1.
+        sampled = sample_spotcheck_indices(
+            resp.merkle_root, req.challenge, req.num_steps - 1,
+            max(0, cfg.num_checkpoints - 1), secret=audit_secret)
+        checks = sorted(set(sampled) | {req.num_steps - 1})
+        # index 0 is always revealed (compare-only, no re-execution): binds
+        # the trace to the seed-derived base noise, closing the replay/
+        # self-consistent-trace hole (a WrongSeed adversary passes
+        # re-execution but fails this).
         indices = sorted({0, req.num_steps - 1} | set(checks) |
                          {i + 1 for i in checks if i + 1 < req.num_steps})
         d["spotcheck_indices"] = checks
@@ -346,7 +365,17 @@ class Validator(Neuron):
             leaves[idx] = (int(t), z, eps)
         d["checks"]["merkle"] = True
 
-        same_platform = (resp.platform == __import__("jax").default_backend())
+        # the response's platform tag is UNTRUSTED (a miner on our platform
+        # could claim another backend to downgrade bitwise re-execution to
+        # tolerance mode — ADVICE r1). Only the platform pinned in the
+        # registry at registration relaxes the check; a response whose claim
+        # contradicts its pin is a cheat, and an unpinned miner gets the
+        # secure default (bitwise).
+        pinned = info.platform
+        if pinned and resp.platform and resp.platform != pinned:
+            return fail("platform", claimed=resp.platform, pinned=pinned)
+        same_platform = (not pinned) or \
+            (pinned == __import__("jax").default_backend())
         d["same_platform"] = same_platform
 
         # base-noise binding: if step 0 is revealed, z_0 must equal the
@@ -360,29 +389,34 @@ class Validator(Neuron):
                 return fail("base_noise", err=err)
             d["checks"]["base_noise"] = True
 
+        # all k re-executions in ONE device launch (VERDICT r1 item 2)
+        results, _ = verify_revealed_steps(
+            self.engine, req.prompt, req.negative_prompt, leaves, checks,
+            req.num_steps, req.guidance_scale,
+            same_platform=same_platform, atol=cfg.atol)
+        self.metrics["reexec_steps"] += len(checks)
         for i in checks:
-            res = verify_revealed_step(
-                self.engine, req.prompt, req.negative_prompt,
-                leaves[i], i, req.num_steps, req.guidance_scale,
-                same_platform=same_platform, atol=cfg.atol,
-                next_leaf=leaves.get(i + 1),
-            )
-            self.metrics["reexec_steps"] += 1
+            res = results[i]
             if not res.passed:
                 return fail("reexecution", step=i, reason=res.reason,
                             eps_err=res.max_eps_err, z_err=res.max_z_err)
         d["checks"]["reexecution"] = True
-        d["reexec_bitwise"] = same_platform
+        d["reexec_bitwise"] = all(results[i].bitwise for i in checks)
 
-        # video <-> trace binding: decode a frame from the re-derived final
-        # latent and compare to the delivered video (closes the cached-video
-        # replay hole; the reference never ties video to commitments)
+        # video <-> trace binding: decode secret-derived frames from the
+        # re-derived final latent and compare to the delivered video (closes
+        # the cached-video replay hole; the reference never ties video to
+        # commitments). Frame choice is post-commit-unpredictable (ADVICE r1).
         if cfg.video_binding and frames is not None:
             last = req.num_steps - 1
+            bind_frames = binding_frame_indices(audit_secret, resp.merkle_root,
+                                                req.num_frames,
+                                                k=cfg.binding_num_frames)
+            d["binding_frames"] = bind_frames
             ok_bind, err = self.engine.verify_video_binding(
                 frames, leaves[last], last, req.num_steps,
                 req.guidance_scale, req.prompt, req.negative_prompt,
-                max_err=cfg.binding_max_err)
+                frame_indices=bind_frames, max_err=cfg.binding_max_err)
             d["video_binding_err"] = round(err, 4)
             if not ok_bind:
                 return fail("video_binding", err=err)

@@ -136,10 +136,20 @@ def sample_spotcheck_pairs(
     merkle_root: bytes,
     challenge: bytes,
     num_steps: int,
+    secret: bytes,
     num_checks: int = 3,
 ) -> List[Tuple[int, int]]:
-    """(i, min(i+1, T-1)) pair view of sample_spotcheck_indices."""
-    idxs = sample_spotcheck_indices(merkle_root, challenge, num_steps, num_checks)
+    """(i, min(i+1, T-1)) pair view of sample_spotcheck_indices.
+
+    `secret` is REQUIRED (post-commit validator randomness) — root and
+    challenge alone are known to the miner at commit time, so omitting it
+    would make the sample grindable (see sample_spotcheck_indices)."""
+    if not secret:
+        raise ValueError("sample_spotcheck_pairs requires the post-commit "
+                         "audit secret; commit-time-known inputs alone are "
+                         "grindable by the miner")
+    idxs = sample_spotcheck_indices(merkle_root, challenge, num_steps,
+                                    num_checks, secret=secret)
     return [(i, i + 1) if i + 1 < num_steps else (i, i) for i in idxs]
 
 
