@@ -45,11 +45,23 @@ class Pipeline:
     text_encoder: CLIPTextEncoder
     vae_decoder: VAEDecoder
     params: Dict[str, Any]
+    # real CLIP BPE tokenizer (models/tokenizer.py) when the pipeline was
+    # built from a diffusers checkpoint; None -> deterministic hash tokenizer
+    tokenizer: Optional[object] = None
     _gen_cache: Dict[tuple, Any] = dataclasses.field(default_factory=dict)
 
     @property
     def latent_channels(self) -> int:
         return self.spec.latent_channels
+
+    def tokenize(self, texts: List[str]) -> np.ndarray:
+        """Prompts -> (B, max_length) int32 ids. Part of the PoI determinism
+        chain: miner and validator must hold the same tokenizer (both load it
+        from the same checkpoint; the hash fallback is parameter-free)."""
+        if self.tokenizer is not None:
+            return self.tokenizer(texts, max_length=self.spec.text.max_length)
+        return tokenize_batch(texts, self.spec.text.vocab_size,
+                              self.spec.text.max_length)
 
     def generator(self, num_frames: int, height: int, width: int, num_steps: int,
                   guidance_scale: float, context_weight: float, record: bool,
@@ -110,7 +122,7 @@ def build_pipeline(model_name: str = "zeroscope-tiny", seed: int = 0,
 
 def encode_prompts(pipe: Pipeline, prompts: List[str]) -> jax.Array:
     """Prompts -> encoder hidden states (B, S, D)."""
-    ids = tokenize_batch(prompts, pipe.spec.text.vocab_size, pipe.spec.text.max_length)
+    ids = pipe.tokenize(prompts)
     hidden, _ = jax.jit(pipe.text_encoder.apply)(pipe.params["text"], jnp.asarray(ids))
     return hidden
 
@@ -357,7 +369,7 @@ def generate(
     fn, sched = pipe.generator(num_frames, height, width, num_steps,
                                guidance_scale, context_weight, record,
                                cfg_split=cfg_split)
-    ids = tokenize_batch([negative_prompt, prompt], spec.text.vocab_size, spec.text.max_length)
+    ids = pipe.tokenize([negative_prompt, prompt])
     out = fn(pipe.params, jnp.asarray(ids), rng_ops.base_key(seed))
     if record:
         frames, zs, epss = out

@@ -34,7 +34,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.text_encoder import tokenize_batch
 from ..ops import rng as rng_ops
 from ..ops.scheduler import make_ddim_schedule
 from ..pipelines.text2video import Pipeline, cfg_denoise_step
@@ -178,8 +177,7 @@ class StepEngine:
         c = spec.latent_channels
         params = self.pipe.params
 
-        ids = tokenize_batch([negative_prompt, prompt], spec.text.vocab_size,
-                             spec.text.max_length)
+        ids = self.pipe.tokenize([negative_prompt, prompt])
         uncond, cond = self.encode_fn()(params, jnp.asarray(ids))
         _, sched = self.step_fn(num_steps, guidance_scale)
 
@@ -209,8 +207,7 @@ class StepEngine:
         """-> (eps_i', z_{i+1}') recomputed from z_i under the step program."""
         params = self.pipe.params
         spec = self.pipe.spec
-        ids = tokenize_batch([negative_prompt, prompt], spec.text.vocab_size,
-                             spec.text.max_length)
+        ids = self.pipe.tokenize([negative_prompt, prompt])
         uncond, cond = self.encode_fn()(params, jnp.asarray(ids))
         step, _ = self.step_fn(num_steps, guidance_scale)
         z = jnp.asarray(z_i)[None]
@@ -225,8 +222,7 @@ class StepEngine:
         k sampled steps. -> (eps' (k,...), z_next' (k,...))."""
         params = self.pipe.params
         spec = self.pipe.spec
-        ids = tokenize_batch([negative_prompt, prompt], spec.text.vocab_size,
-                             spec.text.max_length)
+        ids = self.pipe.tokenize([negative_prompt, prompt])
         uncond, cond = self.encode_fn()(params, jnp.asarray(ids))
         k = len(step_indices)
         multi, _ = self.multi_step_fn(num_steps, guidance_scale, k)
