@@ -53,22 +53,29 @@ class TimeEmbedding(nn.Module):
 
 
 class ResnetBlock2D(nn.Module):
-    """Spatial resnet block applied per-frame on (N, H, W, C)."""
+    """Spatial resnet block applied per-frame on (N, H, W, C).
+
+    Semantics (incl. GroupNorm eps=1e-5 and temb injection point) match
+    diffusers ResnetBlock2D so pretrained UNet3D weights load exactly
+    (utils/convert.py)."""
 
     out_channels: int
     groups: int = 32
     dtype: jnp.dtype = jnp.float32
+    eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x: jax.Array, temb: jax.Array) -> jax.Array:
         # x: (N, H, W, C); temb: (N, D)
         residual = x
-        h = nn.GroupNorm(num_groups=self.groups, dtype=self.dtype, name="norm1")(x)
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
+                         dtype=self.dtype, name="norm1")(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding="SAME", dtype=self.dtype, name="conv1")(h)
         t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
         h = h + t[:, None, None, :]
-        h = nn.GroupNorm(num_groups=self.groups, dtype=self.dtype, name="norm2")(h)
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
+                         dtype=self.dtype, name="norm2")(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding="SAME", dtype=self.dtype, name="conv2")(h)
         if residual.shape[-1] != self.out_channels:
@@ -78,18 +85,24 @@ class ResnetBlock2D(nn.Module):
 
 class TemporalConvBlock(nn.Module):
     """Residual stack of (3,1,1) 3D convs over (B, F, H, W, C); last conv
-    zero-init so the block is identity at init."""
+    zero-init so the block is identity at init.
+
+    With num_layers=4 this is exactly diffusers TemporalConvLayer (conv1..4,
+    each GroupNorm(32, eps=1e-5)+SiLU+Conv3d(k=(3,1,1)); conv4 zero-init by
+    the original training recipe too) — pretrained weights load 1:1."""
 
     channels: int
     num_layers: int = 2
     groups: int = 32
     dtype: jnp.dtype = jnp.float32
+    eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         h = x
         for i in range(self.num_layers):
-            h = nn.GroupNorm(num_groups=self.groups, dtype=self.dtype, name=f"norm{i}")(h)
+            h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
+                             dtype=self.dtype, name=f"norm{i}")(h)
             h = nn.silu(h)
             last = i == self.num_layers - 1
             h = nn.Conv(
@@ -104,6 +117,9 @@ class TemporalConvBlock(nn.Module):
 
 
 class GEGLUFeedForward(nn.Module):
+    """GEGLU MLP, matching diffusers FeedForward(activation_fn='geglu'):
+    exact-erf gelu (torch F.gelu default), chunk order (value, gate)."""
+
     dim: int
     mult: int = 4
     dtype: jnp.dtype = jnp.float32
@@ -113,7 +129,7 @@ class GEGLUFeedForward(nn.Module):
         inner = self.dim * self.mult
         hg = nn.Dense(inner * 2, dtype=self.dtype, name="proj_in")(x)
         h, gate = jnp.split(hg, 2, axis=-1)
-        h = h * nn.gelu(gate)
+        h = h * nn.gelu(gate, approximate=False)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj_out")(h)
 
 
@@ -146,24 +162,31 @@ class Attention(nn.Module):
 
 
 class BasicTransformerBlock(nn.Module):
-    """LN->self-attn, LN->cross-attn, LN->GEGLU FF; all residual."""
+    """LN->self-attn, LN->cross-attn, LN->GEGLU FF; all residual.
+
+    Matches diffusers BasicTransformerBlock (LayerNorm eps=1e-5, torch
+    default). When cross_attention_dim is set but context is None the attn2
+    branch self-attends — exactly how diffusers' temporal transformer blocks
+    behave (temp_attentions are built with a cross dim but never receive
+    encoder states)."""
 
     dim: int
     num_heads: int
     head_dim: int
     cross_attention_dim: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
+    eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x: jax.Array, context: Optional[jax.Array] = None) -> jax.Array:
-        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        h = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="norm1")(x)
         x = x + Attention(self.num_heads, self.head_dim, self.dim, dtype=self.dtype, name="attn1")(h)
         if self.cross_attention_dim is not None:
-            h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+            h = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="norm2")(x)
             x = x + Attention(self.num_heads, self.head_dim, self.dim, dtype=self.dtype, name="attn2")(
                 h, context
             )
-        h = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
+        h = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="norm3")(x)
         x = x + GEGLUFeedForward(self.dim, dtype=self.dtype, name="ff")(h)
         return x
 
@@ -183,7 +206,11 @@ class SpatialTransformer(nn.Module):
     def __call__(self, x: jax.Array, context: jax.Array) -> jax.Array:
         n, hh, ww, c = x.shape
         residual = x
-        h = nn.GroupNorm(num_groups=self.groups, dtype=self.dtype, name="norm")(x)
+        # diffusers Transformer2DModel: GroupNorm(32, eps=1e-6); its 1x1-conv
+        # proj_in/out (use_linear_projection=False) is Dense math — the
+        # converter reshapes (C,C,1,1) conv kernels into (C,C)
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6,
+                         dtype=self.dtype, name="norm")(x)
         h = h.reshape(n, hh * ww, c)
         h = nn.Dense(c, dtype=self.dtype, name="proj_in")(h)
         for i in range(self.depth):
@@ -247,6 +274,50 @@ class TemporalAttention(nn.Module):
         o = nn.Dense(c, dtype=self.dtype, kernel_init=nn.initializers.zeros, name="to_out_zero")(o)
         o = o.reshape(b, hh, ww, f, c).transpose(0, 3, 1, 2, 4)
         return residual + o
+
+
+class TransformerTemporal(nn.Module):
+    """Temporal transformer over the frame axis, matching diffusers
+    TransformerTemporalModel (the module the reference's UNet3D uses for
+    transformer_in and every temp_attention,
+    `/root/reference/InferNet/neurons/miner.py:83-87` via diffusers):
+
+      GroupNorm(32, eps=1e-6) with statistics over (F, H, W) jointly ->
+      (B*H*W, F, C) -> Linear proj_in -> BasicTransformerBlock (self-attn,
+      [cross-dim attn2 self-attending], GEGLU FF) -> Linear proj_out ->
+      + residual.
+
+    No positional signal (the pretrained family is trained that way). The
+    global-over-frames GroupNorm means frame-sharded (CP) execution of THIS
+    style needs replicated frames or a stats reduction; the TPU-first
+    TemporalAttention (rotary, LayerNorm) remains the shard-native style.
+    proj_out is zero-init at random init (identity start, golden-testable);
+    pretrained weights overwrite it."""
+
+    num_heads: int
+    head_dim: int
+    cross_attention_dim: Optional[int] = None
+    groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array,
+                 frame_positions: Optional[jax.Array] = None) -> jax.Array:
+        b, f, hh, ww, c = x.shape
+        residual = x
+        # flax GroupNorm on (B, F, H, W, C) reduces over every non-batch axis
+        # per channel group == diffusers' norm of (B, C, F, H, W)
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6,
+                         dtype=self.dtype, name="norm")(x)
+        h = h.transpose(0, 2, 3, 1, 4).reshape(b * hh * ww, f, c)
+        h = nn.Dense(c, dtype=self.dtype, name="proj_in")(h)
+        h = BasicTransformerBlock(c, self.num_heads, self.head_dim,
+                                  self.cross_attention_dim, dtype=self.dtype,
+                                  name="block0")(h, None)
+        h = nn.Dense(c, dtype=self.dtype, kernel_init=nn.initializers.zeros,
+                     name="proj_out_zero")(h)
+        h = h.reshape(b, hh, ww, f, c).transpose(0, 3, 1, 2, 4)
+        return residual + h
 
 
 class Downsample2D(nn.Module):

@@ -35,6 +35,11 @@ class TextEncoderConfig:
     num_heads: int = 16
     intermediate_size: int = 4096
     max_length: int = 77
+    # HF CLIPTextModel parity: 'gelu' (exact erf — the OpenCLIP-converted
+    # towers Zeroscope uses) or 'quick_gelu' (openai ViT-L family)
+    hidden_act: str = "gelu"
+    layer_norm_eps: float = 1e-5
+    eos_token_id: int = 2          # real CLIP vocab: 49407
     dtype: str = "bfloat16"
 
     @property
@@ -46,6 +51,16 @@ def tiny_text_config() -> TextEncoderConfig:
     return TextEncoderConfig(vocab_size=1024, hidden_size=64, num_layers=2,
                              num_heads=4, intermediate_size=128, max_length=16,
                              dtype="float32")
+
+
+def _activation(name: str):
+    if name == "quick_gelu":
+        return lambda x: x * jax.nn.sigmoid(1.702 * x)
+    if name == "gelu":
+        return lambda x: nn.gelu(x, approximate=False)
+    if name == "gelu_tanh":
+        return lambda x: nn.gelu(x, approximate=True)
+    raise ValueError(f"unknown activation {name!r}")
 
 
 BOS_ID = 1
@@ -80,7 +95,7 @@ class _TextBlock(nn.Module):
         cfg = self.cfg
         dt = cfg.compute_dtype
         head_dim = cfg.hidden_size // cfg.num_heads
-        h = nn.LayerNorm(dtype=dt, name="ln1")(x)
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=dt, name="ln1")(x)
         q = nn.Dense(cfg.hidden_size, dtype=dt, name="q")(h)
         k = nn.Dense(cfg.hidden_size, dtype=dt, name="k")(h)
         v = nn.Dense(cfg.hidden_size, dtype=dt, name="v")(h)
@@ -97,9 +112,9 @@ class _TextBlock(nn.Module):
         o = jnp.einsum("bhst,bthd->bshd", probs, v, preferred_element_type=jnp.float32)
         o = o.astype(dt).reshape(b, s, cfg.hidden_size)
         x = x + nn.Dense(cfg.hidden_size, dtype=dt, name="proj")(o)
-        h = nn.LayerNorm(dtype=dt, name="ln2")(x)
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=dt, name="ln2")(x)
         h = nn.Dense(cfg.intermediate_size, dtype=dt, name="fc1")(h)
-        h = nn.gelu(h, approximate=True)
+        h = _activation(cfg.hidden_act)(h)
         h = nn.Dense(cfg.hidden_size, dtype=dt, name="fc2")(h)
         return x + h
 
@@ -122,9 +137,10 @@ class CLIPTextEncoder(nn.Module):
         # the (first) EOS position rather than by masking logits
         for i in range(cfg.num_layers):
             x = _TextBlock(cfg, name=f"layer{i}")(x)
-        x = nn.LayerNorm(dtype=dt, name="final_ln")(x)
-        # pooled = hidden at EOS position (CLIP convention)
-        eos_pos = jnp.argmax(input_ids == EOS_ID, axis=-1)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=dt, name="final_ln")(x)
+        # pooled = hidden at the first EOS position (CLIP convention; with the
+        # real vocab EOS=49407 is also the max id, so this matches HF exactly)
+        eos_pos = jnp.argmax(input_ids == cfg.eos_token_id, axis=-1)
         pooled = jnp.take_along_axis(x, eos_pos[:, None, None], axis=1)[:, 0]
         return x, pooled
 

@@ -31,6 +31,7 @@ from .layers import (
     TemporalAttention,
     TemporalConvBlock,
     TimeEmbedding,
+    TransformerTemporal,
     Upsample2D,
     timestep_embedding,
 )
@@ -47,9 +48,16 @@ class UNet3DConfig:
     attention_head_dim: int = 64
     cross_attention_dim: int = 1024
     norm_groups: int = 32
-    temporal_conv_layers: int = 2
+    norm_eps: float = 1e-5
+    # diffusers TemporalConvLayer has 4 convs (conv1..conv4)
+    temporal_conv_layers: int = 4
     use_temporal_attention: bool = True
     use_rotary_time: bool = True
+    # 'diffusers': TransformerTemporalModel semantics (GN over frames,
+    #   proj_in/out, GEGLU FF, no positions) — loads pretrained weights 1:1.
+    # 'rotary': TPU-first shard-native mixer (LayerNorm, rotary frame
+    #   positions, no FF) — exact frame-sharded CP, but no pretrained path.
+    temporal_style: str = "diffusers"
     dtype: str = "bfloat16"
 
     @property
@@ -58,7 +66,9 @@ class UNet3DConfig:
 
 
 def tiny_unet_config() -> UNet3DConfig:
-    """CPU-test-scale config (used by the golden tests and the mock network)."""
+    """CPU-test-scale config (used by the golden tests and the mock network).
+    Keeps the rotary temporal style: the CP-exact/ring-attention test paths
+    exercise shard-native temporal mixing."""
     return UNet3DConfig(
         block_out_channels=(32, 64),
         layers_per_block=1,
@@ -67,12 +77,44 @@ def tiny_unet_config() -> UNet3DConfig:
         cross_attention_dim=64,
         norm_groups=8,
         temporal_conv_layers=1,
+        temporal_style="rotary",
         dtype="float32",
     )
 
 
+def tiny_hf_unet_config() -> UNet3DConfig:
+    """CPU-test-scale config in the diffusers-faithful style (converter and
+    parity tests; same block semantics as the full zeroscope spec)."""
+    return UNet3DConfig(
+        block_out_channels=(32, 64),
+        layers_per_block=1,
+        cross_attention_levels=(True, False),
+        attention_head_dim=16,
+        cross_attention_dim=64,
+        norm_groups=8,
+        temporal_conv_layers=4,
+        temporal_style="diffusers",
+        dtype="float32",
+    )
+
+
+def _temporal_mixer(cfg: UNet3DConfig, channels: int, name: str,
+                    with_cross_dim: bool = True):
+    """Temporal attention module for the configured style (see UNet3DConfig)."""
+    dt = cfg.compute_dtype
+    heads = max(1, channels // cfg.attention_head_dim)
+    if cfg.temporal_style == "diffusers":
+        return TransformerTemporal(
+            heads, cfg.attention_head_dim,
+            cross_attention_dim=cfg.cross_attention_dim if with_cross_dim else None,
+            groups=cfg.norm_groups, dtype=dt, name=name)
+    return TemporalAttention(heads, cfg.attention_head_dim,
+                             cfg.use_rotary_time, dt, name=name)
+
+
 class _LevelBlock(nn.Module):
-    """One (resnet, temporal-conv, [spatial-xattn, temporal-attn]) unit."""
+    """One (resnet, temporal-conv, [spatial-xattn, temporal-attn]) unit —
+    the per-layer sequence of diffusers CrossAttnDown/Up/MidBlock3D."""
 
     cfg: UNet3DConfig
     out_channels: int
@@ -85,10 +127,11 @@ class _LevelBlock(nn.Module):
         dt = cfg.compute_dtype
         b, f = x.shape[0], x.shape[1]
         xs = x.reshape((b * f,) + x.shape[2:])
-        xs = ResnetBlock2D(self.out_channels, cfg.norm_groups, dt, name="resnet")(xs, temb_pf)
+        xs = ResnetBlock2D(self.out_channels, cfg.norm_groups, dt,
+                           eps=cfg.norm_eps, name="resnet")(xs, temb_pf)
         x = xs.reshape((b, f) + xs.shape[1:])
         x = TemporalConvBlock(self.out_channels, cfg.temporal_conv_layers, cfg.norm_groups,
-                              dt, name="temp_conv")(x)
+                              dt, eps=cfg.norm_eps, name="temp_conv")(x)
         if self.has_attention:
             heads = max(1, self.out_channels // cfg.attention_head_dim)
             xs = x.reshape((b * f,) + x.shape[2:])
@@ -96,8 +139,8 @@ class _LevelBlock(nn.Module):
                                     groups=cfg.norm_groups, dtype=dt, name="spatial_attn")(xs, context_pf)
             x = xs.reshape((b, f) + xs.shape[1:])
             if cfg.use_temporal_attention:
-                x = TemporalAttention(heads, cfg.attention_head_dim, cfg.use_rotary_time,
-                                      dt, name="temporal_attn")(x, frame_positions)
+                x = _temporal_mixer(cfg, self.out_channels,
+                                    "temporal_attn")(x, frame_positions)
         return x
 
 
@@ -138,10 +181,21 @@ class UNet3D(nn.Module):
         xs = nn.Conv(ch0, (3, 3), padding="SAME", dtype=dt, name="conv_in")(xs)
         x = xs.reshape(b, f, h, w, ch0)
 
-        # transformer_in: temporal attention right after conv_in (ModelScope-style)
+        # transformer_in: temporal attention right after conv_in. In the
+        # diffusers UNet3D this is TransformerTemporalModel(heads=8,
+        # head_dim=ch0//8, no cross dim) — head geometry differs from the
+        # in-block temp_attentions, so build it explicitly.
         if cfg.use_temporal_attention:
-            x = TemporalAttention(max(1, ch0 // cfg.attention_head_dim), cfg.attention_head_dim,
-                                  cfg.use_rotary_time, dt, name="transformer_in")(x, frame_positions)
+            if cfg.temporal_style == "diffusers":
+                x = TransformerTemporal(8, max(1, ch0 // 8),
+                                        cross_attention_dim=None,
+                                        groups=cfg.norm_groups, dtype=dt,
+                                        name="transformer_in")(x, frame_positions)
+            else:
+                x = TemporalAttention(max(1, ch0 // cfg.attention_head_dim),
+                                      cfg.attention_head_dim,
+                                      cfg.use_rotary_time, dt,
+                                      name="transformer_in")(x, frame_positions)
 
         num_levels = len(cfg.block_out_channels)
         skips = [x]
@@ -177,7 +231,8 @@ class UNet3D(nn.Module):
 
         assert not skips
         xs = x.reshape((b * f,) + x.shape[2:])
-        xs = nn.GroupNorm(num_groups=cfg.norm_groups, dtype=dt, name="conv_norm_out")(xs)
+        xs = nn.GroupNorm(num_groups=cfg.norm_groups, epsilon=cfg.norm_eps,
+                          dtype=dt, name="conv_norm_out")(xs)
         xs = nn.silu(xs)
         xs = nn.Conv(cfg.out_channels, (3, 3), padding="SAME", dtype=dt,
                      kernel_init=nn.initializers.zeros, name="conv_out_zero")(xs)

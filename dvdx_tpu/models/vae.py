@@ -32,6 +32,11 @@ class VAEConfig:
     layers_per_block: int = 2
     norm_groups: int = 32
     use_mid_attention: bool = True
+    # diffusers AutoencoderKL has no output nonlinearity (the pipeline clamps
+    # after scaling); tanh is this framework's bounded-output default for
+    # random-init models. Pretrained loads set final_tanh=False for parity.
+    final_tanh: bool = True
+    scaling_factor: float = SCALING_FACTOR
     dtype: str = "bfloat16"
 
     @property
@@ -94,7 +99,7 @@ class VAEDecoder(nn.Module):
     def __call__(self, z):
         cfg = self.cfg
         dt = cfg.compute_dtype
-        z = (z / SCALING_FACTOR).astype(dt)
+        z = (z / cfg.scaling_factor).astype(dt)
         z = nn.Conv(cfg.latent_channels, (1, 1), dtype=dt, name="post_quant_conv")(z)
         ch = cfg.base_channels * cfg.channel_mults[-1]
         h = nn.Conv(ch, (3, 3), padding="SAME", dtype=dt, name="conv_in")(z)
@@ -113,7 +118,8 @@ class VAEDecoder(nn.Module):
         h = nn.GroupNorm(num_groups=cfg.norm_groups, dtype=dt, name="norm_out")(h)
         h = nn.silu(h)
         h = nn.Conv(3, (3, 3), padding="SAME", dtype=dt, name="conv_out")(h)
-        return jnp.tanh(h.astype(jnp.float32))
+        h = h.astype(jnp.float32)
+        return jnp.tanh(h) if cfg.final_tanh else h
 
 
 class VAEEncoder(nn.Module):
@@ -142,7 +148,7 @@ class VAEEncoder(nn.Module):
         h = nn.GroupNorm(num_groups=cfg.norm_groups, dtype=dt, name="norm_out")(h)
         h = nn.silu(h)
         mean = nn.Conv(cfg.latent_channels, (3, 3), padding="SAME", dtype=dt, name="conv_mean")(h)
-        return mean.astype(jnp.float32) * SCALING_FACTOR
+        return mean.astype(jnp.float32) * cfg.scaling_factor
 
 
 def decode_frames_tiled(decoder_apply, params, latents, tile: int = 0):

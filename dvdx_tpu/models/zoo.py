@@ -16,7 +16,7 @@ from typing import Dict, Optional
 
 from .dit_video import DiTVideoConfig, tiny_dit_config
 from .text_encoder import TextEncoderConfig, tiny_text_config
-from .unet3d import UNet3DConfig, tiny_unet_config
+from .unet3d import UNet3DConfig, tiny_hf_unet_config, tiny_unet_config
 from .vae import VAEConfig, tiny_vae_config
 
 
@@ -54,6 +54,15 @@ REGISTRY: Dict[str, ModelSpec] = {
     "zeroscope-tiny": ModelSpec(
         name="zeroscope-tiny",
         unet=tiny_unet_config(),
+        text=tiny_text_config(),
+        vae=tiny_vae_config(),
+        default_width=32, default_height=32, default_frames=4, default_steps=4,
+    ),
+    # diffusers-faithful tiny variant (converter/parity tests; identical
+    # block semantics to the full zeroscope specs)
+    "zeroscope-tiny-hf": ModelSpec(
+        name="zeroscope-tiny-hf",
+        unet=tiny_hf_unet_config(),
         text=tiny_text_config(),
         vae=tiny_vae_config(),
         default_width=32, default_height=32, default_frames=4, default_steps=4,
