@@ -174,6 +174,9 @@ class BasicTransformerBlock(nn.Module):
     num_heads: int
     head_dim: int
     cross_attention_dim: Optional[int] = None
+    # diffusers double_self_attention: attn2/norm2 exist even without a cross
+    # dim and self-attend (every TransformerTemporalModel block has this on)
+    double_self: bool = False
     dtype: jnp.dtype = jnp.float32
     eps: float = 1e-5
 
@@ -181,7 +184,7 @@ class BasicTransformerBlock(nn.Module):
     def __call__(self, x: jax.Array, context: Optional[jax.Array] = None) -> jax.Array:
         h = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="norm1")(x)
         x = x + Attention(self.num_heads, self.head_dim, self.dim, dtype=self.dtype, name="attn1")(h)
-        if self.cross_attention_dim is not None:
+        if self.cross_attention_dim is not None or self.double_self:
             h = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="norm2")(x)
             x = x + Attention(self.num_heads, self.head_dim, self.dim, dtype=self.dtype, name="attn2")(
                 h, context
@@ -312,8 +315,8 @@ class TransformerTemporal(nn.Module):
         h = h.transpose(0, 2, 3, 1, 4).reshape(b * hh * ww, f, c)
         h = nn.Dense(c, dtype=self.dtype, name="proj_in")(h)
         h = BasicTransformerBlock(c, self.num_heads, self.head_dim,
-                                  self.cross_attention_dim, dtype=self.dtype,
-                                  name="block0")(h, None)
+                                  self.cross_attention_dim, double_self=True,
+                                  dtype=self.dtype, name="block0")(h, None)
         h = nn.Dense(c, dtype=self.dtype, kernel_init=nn.initializers.zeros,
                      name="proj_out_zero")(h)
         h = h.reshape(b, hh, ww, f, c).transpose(0, 3, 1, 2, 4)

@@ -122,6 +122,7 @@ class Miner(Neuron):
             req.prompt, negative_prompt=req.negative_prompt, seed=req.seed,
             num_frames=req.num_frames, height=req.height, width=req.width,
             num_steps=req.num_steps, guidance_scale=req.guidance_scale,
+            cfg_split=req.cfg_split,
         )
         video = ((frames_f32 + 1.0) * 127.5).clip(0, 255).astype(np.uint8)
         gen_s = time.time() - t0

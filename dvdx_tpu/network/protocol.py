@@ -107,8 +107,14 @@ class InferenceRequest:
     seed: int = 0                 # HMAC-derived by validator (proof.py analog)
     challenge: bytes = b""        # 32-byte validator challenge
     validator_pubkey: bytes = b""
+    # step-program identity: True runs uncond/cond as two sequential UNet
+    # calls (halves peak activations — required for XL geometry on one 16 GB
+    # chip). Validator-chosen; prover and verifier must execute the same
+    # program for bitwise re-execution, so it rides in the request.
+    cfg_split: bool = False
 
     def validate(self):
+        self.cfg_split = bool(self.cfg_split)
         # the reference's pydantic validators coerce str->int (protocol.py:60-68)
         for f in ("width", "height", "num_frames", "fps", "num_steps", "seed"):
             setattr(self, f, int(getattr(self, f)))

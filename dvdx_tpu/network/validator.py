@@ -74,6 +74,7 @@ class ValidatorConfig:
     num_steps: int = 4
     fps: int = 8
     guidance_scale: float = 7.5
+    cfg_split: bool = False         # step-program identity (XL single-chip)
     min_score_to_record: float = 0.0
 
 
@@ -114,6 +115,7 @@ class Validator(Neuron):
             height=cfg.height, num_frames=cfg.num_frames, fps=cfg.fps,
             num_steps=cfg.num_steps, guidance_scale=cfg.guidance_scale,
             seed=seed, challenge=challenge, validator_pubkey=self.pubkey,
+            cfg_split=cfg.cfg_split,
         )
 
     async def run_round(self, request_id: str, prompt: str) -> dict:
@@ -393,7 +395,8 @@ class Validator(Neuron):
         results, _ = verify_revealed_steps(
             self.engine, req.prompt, req.negative_prompt, leaves, checks,
             req.num_steps, req.guidance_scale,
-            same_platform=same_platform, atol=cfg.atol)
+            same_platform=same_platform, atol=cfg.atol,
+            cfg_split=req.cfg_split)
         self.metrics["reexec_steps"] += len(checks)
         for i in checks:
             res = results[i]

@@ -63,7 +63,8 @@ class StepEngine:
             self._encode = jax.jit(enc)
         return self._encode
 
-    def segment_fn(self, num_steps: int, guidance_scale: float, length: int):
+    def segment_fn(self, num_steps: int, guidance_scale: float, length: int,
+                   cfg_split: bool = False):
         """Jitted recording segment: `length` unrolled steps from a traced
         start offset, returning the stacked (z_j, eps_j) for each step.
 
@@ -74,7 +75,7 @@ class StepEngine:
         per-launch dispatch overhead once per `length` steps instead of per
         step (~40% faster PoI-grade generation through the RPC runtime).
         """
-        key = ("seg", num_steps, float(guidance_scale), length)
+        key = ("seg", num_steps, float(guidance_scale), length, cfg_split)
         if key not in self._steps:
             sched = make_ddim_schedule(
                 num_steps, prediction_type=self.pipe.spec.prediction_type)
@@ -85,7 +86,7 @@ class StepEngine:
                 for j in range(length):
                     z2, e = cfg_denoise_step(
                         unet_apply, params["unet"], sched, z, start + j,
-                        cond, uncond, guidance_scale)
+                        cond, uncond, guidance_scale, cfg_split=cfg_split)
                     zs.append(z)
                     eps.append(e)
                     z = z2
@@ -94,8 +95,9 @@ class StepEngine:
             self._steps[key] = (jax.jit(seg), sched)
         return self._steps[key]
 
-    def step_fn(self, num_steps: int, guidance_scale: float):
-        key = (num_steps, float(guidance_scale))
+    def step_fn(self, num_steps: int, guidance_scale: float,
+                cfg_split: bool = False):
+        key = (num_steps, float(guidance_scale), cfg_split)
         if key not in self._steps:
             sched = make_ddim_schedule(
                 num_steps, prediction_type=self.pipe.spec.prediction_type)
@@ -104,14 +106,15 @@ class StepEngine:
             def step(params, z, step_index, cond, uncond):
                 z_prev, eps = cfg_denoise_step(
                     unet_apply, params["unet"], sched, z, step_index, cond,
-                    uncond, guidance_scale,
+                    uncond, guidance_scale, cfg_split=cfg_split,
                 )
                 return z_prev, eps
 
             self._steps[key] = (jax.jit(step), sched)
         return self._steps[key]
 
-    def multi_step_fn(self, num_steps: int, guidance_scale: float, k: int):
+    def multi_step_fn(self, num_steps: int, guidance_scale: float, k: int,
+                      cfg_split: bool = False):
         """One launch re-executing k independent sampled steps.
 
         lax.scan over the stacked (z_i, step_index_i); the scan body is the
@@ -121,7 +124,7 @@ class StepEngine:
         tests/test_proof_security.py::test_multi_step_bitwise_matches_single).
         Cuts the verifier's dispatch count from k launches (+ k text encodes
         before this existed) to one (VERDICT r1 item 2)."""
-        key = ("multi", num_steps, float(guidance_scale), int(k))
+        key = ("multi", num_steps, float(guidance_scale), int(k), cfg_split)
         if key not in self._steps:
             sched = make_ddim_schedule(
                 num_steps, prediction_type=self.pipe.spec.prediction_type)
@@ -132,7 +135,7 @@ class StepEngine:
                     z, i = zi
                     z_prev, eps = cfg_denoise_step(
                         unet_apply, params["unet"], sched, z[None], i,
-                        cond, uncond, guidance_scale)
+                        cond, uncond, guidance_scale, cfg_split=cfg_split)
                     return carry, (eps[0], z_prev[0])
 
                 _, (eps, z_next) = jax.lax.scan(body, None, (zs, idxs))
@@ -165,7 +168,8 @@ class StepEngine:
     def generate_recorded(self, prompt: str, *, negative_prompt: str = "",
                           seed: int = 0, num_frames: int, height: int,
                           width: int, num_steps: int, guidance_scale: float,
-                          latent_dtype=jnp.bfloat16, segment_steps: int = 5):
+                          latent_dtype=jnp.bfloat16, segment_steps: int = 5,
+                          cfg_split: bool = False):
         """PoI-grade generation: records values bitwise-equal to the
         verification step program (driven in `segment_steps`-long launches to
         amortise dispatch overhead; see segment_fn).
@@ -179,7 +183,7 @@ class StepEngine:
 
         ids = self.pipe.tokenize([negative_prompt, prompt])
         uncond, cond = self.encode_fn()(params, jnp.asarray(ids))
-        _, sched = self.step_fn(num_steps, guidance_scale)
+        _, sched = self.step_fn(num_steps, guidance_scale, cfg_split)
 
         z = self.noise_fn(num_frames, lh, lw, c)(rng_ops.base_key(seed))
         z = z[None].astype(latent_dtype)
@@ -187,7 +191,8 @@ class StepEngine:
         start = 0
         while start < num_steps:
             length = min(max(1, segment_steps), num_steps - start)
-            seg, _ = self.segment_fn(num_steps, guidance_scale, length)
+            seg, _ = self.segment_fn(num_steps, guidance_scale, length,
+                                     cfg_split)
             z, zs_seg, eps_seg = seg(params, z, jnp.int32(start), cond, uncond)
             zs_dev.append(zs_seg[:, 0])
             eps_dev.append(eps_seg[:, 0])
@@ -203,13 +208,14 @@ class StepEngine:
 
     def reexecute_pair(self, prompt: str, negative_prompt: str,
                        z_i: np.ndarray, step_index: int, num_steps: int,
-                       guidance_scale: float) -> Tuple[np.ndarray, np.ndarray]:
+                       guidance_scale: float,
+                       cfg_split: bool = False) -> Tuple[np.ndarray, np.ndarray]:
         """-> (eps_i', z_{i+1}') recomputed from z_i under the step program."""
         params = self.pipe.params
         spec = self.pipe.spec
         ids = self.pipe.tokenize([negative_prompt, prompt])
         uncond, cond = self.encode_fn()(params, jnp.asarray(ids))
-        step, _ = self.step_fn(num_steps, guidance_scale)
+        step, _ = self.step_fn(num_steps, guidance_scale, cfg_split)
         z = jnp.asarray(z_i)[None]
         z_next, eps = step(params, z, jnp.int32(step_index), cond, uncond)
         return np.asarray(eps[0]), np.asarray(z_next[0])
@@ -217,7 +223,8 @@ class StepEngine:
     def reexecute_steps(self, prompt: str, negative_prompt: str,
                         z_list: Sequence[np.ndarray],
                         step_indices: Sequence[int], num_steps: int,
-                        guidance_scale: float) -> Tuple[np.ndarray, np.ndarray]:
+                        guidance_scale: float,
+                        cfg_split: bool = False) -> Tuple[np.ndarray, np.ndarray]:
         """Batched verifier path: ONE text encode + ONE device launch for all
         k sampled steps. -> (eps' (k,...), z_next' (k,...))."""
         params = self.pipe.params
@@ -225,7 +232,7 @@ class StepEngine:
         ids = self.pipe.tokenize([negative_prompt, prompt])
         uncond, cond = self.encode_fn()(params, jnp.asarray(ids))
         k = len(step_indices)
-        multi, _ = self.multi_step_fn(num_steps, guidance_scale, k)
+        multi, _ = self.multi_step_fn(num_steps, guidance_scale, k, cfg_split)
         zs = jnp.stack([jnp.asarray(z) for z in z_list])
         idxs = jnp.asarray(list(step_indices), jnp.int32)
         eps, z_next = multi(params, zs, idxs, cond, uncond)
@@ -268,7 +275,9 @@ class StepEngine:
                              "the final eps must also be re-executed so a "
                              "forged eps_{T-1} cannot bind a substitute video")
         _t, z_last, eps_last = last_leaf
-        _, sched = self.step_fn(num_steps, guidance_scale)
+        # only the schedule is needed (ddim_step has no UNet/cfg dependence)
+        sched = make_ddim_schedule(num_steps,
+                                   prediction_type=self.pipe.spec.prediction_type)
         from ..ops.scheduler import ddim_step
 
         z_next = np.asarray(ddim_step(sched, jnp.int32(last_index),
@@ -355,7 +364,7 @@ def verify_revealed_steps(
     engine: StepEngine, prompt: str, negative_prompt: str,
     leaves: Dict[int, Tuple[int, np.ndarray, np.ndarray]],
     checks: Sequence[int], num_steps: int, guidance_scale: float, *,
-    same_platform: bool, atol: float = 5e-2,
+    same_platform: bool, atol: float = 5e-2, cfg_split: bool = False,
 ) -> Tuple[Dict[int, CheckResult], np.ndarray]:
     """Batched full re-execution of every sampled step in ONE device launch
     (single text encode + multi_step_fn) — the k-launch cost of calling
@@ -373,7 +382,7 @@ def verify_revealed_steps(
     checks = list(checks)
     eps_re, z_next_re = engine.reexecute_steps(
         prompt, negative_prompt, [leaves[i][1] for i in checks], checks,
-        num_steps, guidance_scale)
+        num_steps, guidance_scale, cfg_split=cfg_split)
 
     results: Dict[int, CheckResult] = {}
     for row, i in enumerate(checks):
@@ -392,7 +401,8 @@ def verify_revealed_steps(
         res = verify_revealed_step(engine, prompt, negative_prompt, leaves[i],
                                    i, num_steps, guidance_scale,
                                    same_platform=same_platform, atol=atol,
-                                   next_leaf=leaves.get(i + 1))
+                                   next_leaf=leaves.get(i + 1),
+                                   cfg_split=cfg_split)
         results[i] = res
     return results, z_next_re
 
@@ -402,7 +412,7 @@ def verify_revealed_step(engine: StepEngine, prompt: str, negative_prompt: str,
                          step_index: int, num_steps: int,
                          guidance_scale: float, *, same_platform: bool,
                          next_leaf: Optional[Tuple[int, np.ndarray, np.ndarray]] = None,
-                         atol: float = 5e-2) -> CheckResult:
+                         atol: float = 5e-2, cfg_split: bool = False) -> CheckResult:
     """Full re-execution check of sampled step i.
 
     leaf_i: (timestep, z_i, eps_i) with step_index the loop index. Always
@@ -412,7 +422,8 @@ def verify_revealed_step(engine: StepEngine, prompt: str, negative_prompt: str,
     t_i, z_i, eps_i = leaf_i
     eps_re, z_next_re = engine.reexecute_pair(prompt, negative_prompt, z_i,
                                               step_index, num_steps,
-                                              guidance_scale)
+                                              guidance_scale,
+                                              cfg_split=cfg_split)
     ok_e, err_e, bit_e = compare_arrays(eps_re, np.asarray(eps_i),
                                         bitwise=same_platform, atol=atol)
     if not ok_e:

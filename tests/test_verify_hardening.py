@@ -136,6 +136,22 @@ def test_distribute_rewards_failure_surfaces(tiny_pipeline_module):
     assert net.validator.metrics["ledger_errors"] >= 1
 
 
+def test_cfg_split_round_is_bitwise(tiny_pipeline_module):
+    """cfg_split (sequential CFG, the XL single-chip program) is part of the
+    step-program identity: the request pins it, the miner generates with it,
+    and the validator re-executes with it — still bitwise."""
+    cfg = ValidatorConfig(sample_size=1, num_checkpoints=2, num_frames=2,
+                          width=32, height=32, num_steps=3, cfg_split=True)
+    net = build_mock_network(n_miners=1, pipeline=tiny_pipeline_module,
+                             validator_config=cfg)
+    report = _run(net.run_request("req-cfgsplit", "a bronze statue"))
+    d = report["miners"]["0"]
+    assert d["checks"]["reexecution"] is True
+    assert d.get("reexec_bitwise") is True
+    assert d["checks"].get("video_binding") is True
+    assert d["score"] > 0
+
+
 def test_spotcheck_budget_is_exactly_k(tiny_pipeline_module):
     """T-1 counts toward the k re-execution budget (k total, not k+1) and
     index 0 is revealed compare-only — the <10% overhead accounting."""
