@@ -51,9 +51,18 @@ def run_coordinated(
     perturb: bool = False,
     workdir: Optional[str] = None,
     launcher: Optional[Callable[[List[str]], subprocess.Popen]] = None,
+    transport: str = "file",
 ) -> dict:
     """Fan chunks out to worker processes, stitch, decode. Returns metrics +
-    the decoded uint8 video under key 'video'."""
+    the decoded uint8 video under key 'video'.
+
+    transport='socket' streams result chunks back over REAL localhost TCP
+    sockets and reports MEASURED payload bytes + transfer timings
+    (measured_network_bytes / net_gather_s) — the reference measures its
+    pickled all_gather the same way (`chunk_only.py:126-134,175-177`); the
+    runner CLI's analytic comm model is validated against these measurements
+    (tests/test_parallel_net.py). transport='file' keeps the npz-on-disk path
+    (the reference's legacy coordinator behaviour)."""
     plan = plan_chunks(num_frames, num_chunks, overlap)
     workdir = workdir or tempfile.mkdtemp(prefix="dvdx_coord_")
     os.makedirs(workdir, exist_ok=True)
@@ -63,6 +72,16 @@ def run_coordinated(
     launch = launcher or (lambda c: subprocess.Popen(
         c, stdout=subprocess.PIPE, stderr=subprocess.PIPE, cwd=repo_root))
 
+    server = None
+    if transport == "socket":
+        import socket as _socket
+
+        server = _socket.socket(_socket.AF_INET, _socket.SOCK_STREAM)
+        server.bind(("127.0.0.1", 0))
+        server.listen(plan.num_chunks * 2)
+        server.settimeout(600)
+        sock_addr = f"127.0.0.1:{server.getsockname()[1]}"
+
     def launch_worker(i: int, tag: str = ""):
         start, end = bounds[i]
         out = os.path.join(workdir, f"chunk_{i}{tag}.npz")
@@ -70,7 +89,11 @@ def run_coordinated(
                "--model", model, "--prompt", prompt, "--seed", str(seed),
                "--start", str(start), "--length", str(end - start),
                "--width", str(width), "--height", str(height),
-               "--steps", str(steps), "--out", out]
+               "--steps", str(steps)]
+        if transport == "socket":
+            cmd += ["--send-to", sock_addr]
+        else:
+            cmd += ["--out", out]
         if cpu:
             cmd.append("--cpu")
         if perturb:
@@ -79,15 +102,69 @@ def run_coordinated(
 
     t0 = time.time()
     procs = [launch_worker(i) for i in range(plan.num_chunks)]
+    start_to_idx = {bounds[i][0]: i for i in range(plan.num_chunks)}
+    net = {"measured_network_bytes": 0, "net_gather_s": 0.0,
+           "per_chunk_recv_s": []}
+
+    def collect_sockets(procs):
+        """Receive chunks over the listening socket; measure real payload
+        bytes + per-chunk recv time + total gather wall time. Returns when
+        every launched worker either delivered or exited (no hang on a dead
+        worker — liveness is polled between short accept timeouts)."""
+        import io
+        import socket as _socket
+        import struct
+
+        pending = {i for _, _, i in procs}
+        server.settimeout(1.0)
+        gather_t0 = None
+        deadline = time.time() + 600
+        while pending and time.time() < deadline:
+            try:
+                conn, _ = server.accept()
+            except _socket.timeout:
+                if all(p.poll() is not None for p, _, _ in procs):
+                    break  # all workers exited; whatever is left failed
+                continue
+            with conn:
+                r0 = time.time()
+                gather_t0 = gather_t0 or r0
+                header = b""
+                while len(header) < 16:
+                    part = conn.recv(16 - len(header))
+                    if not part:
+                        raise IOError("short chunk header")
+                    header += part
+                assert header[:8] == b"DVDXCHNK", header
+                start, ln = struct.unpack(">II", header[8:16])
+                payload = bytearray()
+                while len(payload) < ln:
+                    part = conn.recv(min(1 << 20, ln - len(payload)))
+                    if not part:
+                        raise IOError("short chunk stream")
+                    payload += part
+                recv_s = time.time() - r0
+            i = start_to_idx[start]
+            chunks[i] = np.load(io.BytesIO(bytes(payload)))["latent"]
+            net["measured_network_bytes"] += 16 + ln
+            net["per_chunk_recv_s"].append(round(recv_s, 4))
+            pending.discard(i)
+        if gather_t0 is not None:
+            net["net_gather_s"] = round(time.time() - gather_t0, 4)
 
     def collect(procs):
         failures = []
+        if transport == "socket":
+            collect_sockets(procs)
         for proc, out, i in procs:
             stdout, stderr = proc.communicate(timeout=600)
-            if proc.returncode != 0 or not os.path.exists(out):
+            delivered = chunks[i] is not None if transport == "socket" \
+                else os.path.exists(out)
+            if proc.returncode != 0 or not delivered:
                 failures.append((i, (stderr or b"")[-400:].decode(errors="replace")))
                 continue
-            chunks[i] = np.load(out)["latent"]
+            if transport == "file":
+                chunks[i] = np.load(out)["latent"]
         return failures
 
     chunks: List[Optional[np.ndarray]] = [None] * plan.num_chunks
@@ -99,6 +176,8 @@ def run_coordinated(
         failures = collect([launch_worker(i, "_retry") for i, _err in failures])
         if failures:
             raise RuntimeError(f"workers failed after retry: {failures}")
+    if server is not None:
+        server.close()
     worker_s = time.time() - t0
 
     latent = stitch_chunks(chunks, plan)  # (F, lh, lw, C)
@@ -138,6 +217,8 @@ def run_coordinated(
         "worker_s": round(worker_s, 2),
         "total_s": round(time.time() - t0, 2),
         "workdir": workdir,
+        "transport": transport,
+        **({k: v for k, v in net.items()} if transport == "socket" else {}),
     }
 
 
@@ -154,6 +235,9 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--perturb", action="store_true")
+    ap.add_argument("--transport", default="file", choices=["file", "socket"],
+                    help="socket = real TCP return path with measured "
+                         "network_bytes / net_gather_s")
     ap.add_argument("--out", default="")
     args = ap.parse_args(argv)
 
@@ -161,7 +245,7 @@ def main(argv=None):
         args.prompt, model=args.model, num_chunks=args.num_chunks,
         overlap=args.overlap, num_frames=args.frames, width=args.width,
         height=args.height, steps=args.steps, seed=args.seed, cpu=args.cpu,
-        perturb=args.perturb,
+        perturb=args.perturb, transport=args.transport,
     )
     video = res.pop("video")
     if args.out:

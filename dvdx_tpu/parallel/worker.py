@@ -32,11 +32,19 @@ def main(argv=None):
     ap.add_argument("--height", type=int, default=32)
     ap.add_argument("--steps", type=int, default=4)
     ap.add_argument("--guidance", type=float, default=7.5)
-    ap.add_argument("--out", required=True)
+    ap.add_argument("--out", default="")
+    ap.add_argument("--send-to", default="",
+                    help="host:port — stream the result chunk over a real "
+                         "TCP socket instead of (or besides) the npz file; "
+                         "the coordinator measures actual payload bytes and "
+                         "transfer time (reference chunk_only.py:126-134 "
+                         "measures its pickled gather the same way)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--perturb", action="store_true")
     ap.add_argument("--param-seed", type=int, default=0)
     args = ap.parse_args(argv)
+    if not args.out and not args.send_to:
+        ap.error("need --out and/or --send-to")
 
     import jax
 
@@ -82,10 +90,27 @@ def main(argv=None):
 
     z = run(pipe.params, jnp.asarray(ids), rng_ops.base_key(args.seed))
     z = np.asarray(z[0], np.float32)
-    np.savez(args.out, latent=z, start=args.start, length=args.length,
-             seed=args.seed, steps=args.steps)
-    print(json.dumps({"worker": "ok", "out": args.out,
+    sent_bytes = 0
+    if args.out:
+        np.savez(args.out, latent=z, start=args.start, length=args.length,
+                 seed=args.seed, steps=args.steps)
+    if args.send_to:
+        import io
+        import socket
+        import struct
+
+        buf = io.BytesIO()
+        np.savez(buf, latent=z, start=args.start, length=args.length,
+                 seed=args.seed, steps=args.steps)
+        payload = buf.getvalue()
+        host, port = args.send_to.rsplit(":", 1)
+        with socket.create_connection((host, int(port)), timeout=60) as s:
+            s.sendall(b"DVDXCHNK" + struct.pack(">II", args.start, len(payload)))
+            s.sendall(payload)
+        sent_bytes = len(payload)
+    print(json.dumps({"worker": "ok", "out": args.out or args.send_to,
                       "frames": [args.start, args.start + args.length],
+                      "sent_bytes": sent_bytes,
                       "elapsed_s": round(time.time() - t0, 2)}))
 
 
