@@ -24,6 +24,7 @@ contract DVDXRewards {
     uint16 public constant MINER_SPLIT_BPS = 7000;   // s = 0.70
     uint16 public constant SLASH_BPS = 1000;         // f* = 0.10
     uint64 public constant REFUND_DELAY = 10 minutes;
+    uint64 public constant UNBOND_DELAY = 1 days;    // stake exit cooldown
 
     struct Request {
         address user;
@@ -44,6 +45,10 @@ contract DVDXRewards {
     mapping(bytes32 => mapping(address => Submission)) public submissions;
     mapping(address => uint256) public stakes;
     mapping(address => uint256) public claimable;
+    // stake exit: amount queued for withdrawal and when it unlocks; queued
+    // stake remains slashable until withdrawn (cooldown = audit window)
+    mapping(address => uint256) public unbonding;
+    mapping(address => uint64) public unbondAt;
 
     event Deposit(bytes32 indexed requestId, address indexed user,
                   uint256 amount, bytes32 promptHash);
@@ -52,6 +57,8 @@ contract DVDXRewards {
     event RewardsDistributed(bytes32 indexed requestId, uint256 minerPool,
                              uint256 validatorCut);
     event StakeSlashed(address indexed miner, uint256 amount);
+    event UnstakeRequested(address indexed miner, uint256 amount, uint64 at);
+    event StakeWithdrawn(address indexed miner, uint256 amount);
     event Refunded(bytes32 indexed requestId, uint256 amount);
 
     modifier onlyValidator() {
@@ -80,6 +87,27 @@ contract DVDXRewards {
     function stake(uint256 amount) external {
         require(tao.transferFrom(msg.sender, address(this), amount), "xfer");
         stakes[msg.sender] += amount;
+    }
+
+    /// Begin a stake exit: moves `amount` into the unbonding queue; it stays
+    /// slashable for UNBOND_DELAY so a cheat caught during the audit window
+    /// cannot front-run its slash by withdrawing (ADVICE r1 — stake() had no
+    /// exit at all).
+    function requestUnstake(uint256 amount) external {
+        require(stakes[msg.sender] >= amount, "insufficient stake");
+        stakes[msg.sender] -= amount;
+        unbonding[msg.sender] += amount;
+        unbondAt[msg.sender] = uint64(block.timestamp) + UNBOND_DELAY;
+        emit UnstakeRequested(msg.sender, amount, unbondAt[msg.sender]);
+    }
+
+    function withdrawStake() external {
+        require(unbonding[msg.sender] > 0, "nothing unbonding");
+        require(block.timestamp >= unbondAt[msg.sender], "unbonding");
+        uint256 amt = unbonding[msg.sender];
+        unbonding[msg.sender] = 0;
+        require(tao.transfer(msg.sender, amt), "xfer");
+        emit StakeWithdrawn(msg.sender, amt);
     }
 
     /// Validator records a verified miner submission. Proof bytes carry
@@ -130,8 +158,12 @@ contract DVDXRewards {
     }
 
     function slashStake(address miner) external onlyValidator {
-        uint256 cut = (stakes[miner] * SLASH_BPS) / 10000;
-        stakes[miner] -= cut;  // burned in-contract
+        // unbonding stake is still slashable (audit-window exit protection)
+        uint256 base = stakes[miner] + unbonding[miner];
+        uint256 cut = (base * SLASH_BPS) / 10000;
+        uint256 fromUnbonding = cut > stakes[miner] ? cut - stakes[miner] : 0;
+        stakes[miner] -= cut - fromUnbonding;   // burned in-contract
+        unbonding[miner] -= fromUnbonding;
         emit StakeSlashed(miner, cut);
     }
 
