@@ -151,6 +151,21 @@ def create_app(ledger: Ledger, listener: DepositListener, registry: Registry,
             amount = int(body["amount"])
             prompt_hash = bytes.fromhex(body["prompt_hash"])  # validate first
             rid = body["request_id"]
+            # wallet-grade commit signing (the wagmi/viem-flow analog,
+            # reference frontend/pages/index.tsx:23-90): when the client
+            # supplies an Ed25519 pubkey+signature over the canonical
+            # commitment message, the deposit account is BOUND to that key —
+            # refunds/results belong to the key holder, not a claimed name.
+            if body.get("pubkey") or body.get("signature"):
+                from ..verify.proof import verify_signature
+
+                pub = bytes.fromhex(body["pubkey"])
+                sig = bytes.fromhex(body["signature"])
+                msg = f"dvdx-deposit|{rid}|{prompt_hash.hex()}|{amount}".encode()
+                if not verify_signature(pub, msg, sig):
+                    return cors(web.json_response(
+                        {"error": "bad deposit signature"}, status=403))
+                user = f"ed25519:{pub.hex()}"
             ledger.mint(user, amount)
             try:
                 ledger.deposit_and_commit(user, rid, prompt_hash, amount)
@@ -159,7 +174,7 @@ def create_app(ledger: Ledger, listener: DepositListener, registry: Registry,
                 raise
         except (KeyError, ValueError, LedgerError) as e:
             return cors(web.json_response({"error": str(e)}, status=400))
-        return cors(web.json_response({"status": "deposited"}))
+        return cors(web.json_response({"status": "deposited", "user": user}))
 
     async def index(_request):
         page = os.path.join(os.path.dirname(os.path.dirname(

@@ -115,6 +115,28 @@ def test_rest_api_lifecycle():
                     assert r.status == 200
                 async with sess.get(f"{base}/status/unknown") as r:
                     assert r.status == 404
+                # wallet-grade signed deposit: account binds to the Ed25519
+                # key (frontend commit-signing analog of the wagmi flow)
+                from dvdx_tpu.verify.proof import Keypair
+
+                ukp = Keypair.from_seed(b"web-user")
+                ph2 = prompt_commitment("signed prompt").hex()
+                msg = f"dvdx-deposit|api-2|{ph2}|500".encode()
+                async with sess.post(f"{base}/deposit", json={
+                    "user": "ignored-when-signed", "request_id": "api-2",
+                    "prompt_hash": ph2, "amount": 500,
+                    "pubkey": ukp.public_bytes.hex(),
+                    "signature": ukp.sign(msg).hex()}) as r:
+                    body = await r.json()
+                    assert r.status == 200, body
+                    assert body["user"] == f"ed25519:{ukp.public_bytes.hex()}"
+                # a forged signature is rejected
+                async with sess.post(f"{base}/deposit", json={
+                    "user": "x", "request_id": "api-3",
+                    "prompt_hash": ph2, "amount": 500,
+                    "pubkey": ukp.public_bytes.hex(),
+                    "signature": ("00" * 64)}) as r:
+                    assert r.status == 403
                 # neuron registration endpoints
                 async with sess.post(f"{base}/register", json={
                     "pubkey": "aa" * 32, "address": "1.2.3.4:5", "stake": 7}) as r:
