@@ -151,15 +151,89 @@ class VAEEncoder(nn.Module):
         return mean.astype(jnp.float32) * cfg.scaling_factor
 
 
-def decode_frames_tiled(decoder_apply, params, latents, tile: int = 0):
+def _tile_starts(size: int, tile: int, stride: int):
+    """Static tile start offsets covering [0, size) with the final tile
+    right-aligned (every pixel covered, constant tile shape for XLA)."""
+    starts = list(range(0, max(size - tile, 0) + 1, stride))
+    if not starts or starts[-1] + tile < size:
+        starts.append(size - tile)
+    return sorted(set(max(0, s) for s in starts))
+
+
+def _blend_weight_1d(size: int, start: int, total: int, overlap: int):
+    """Linear ramp into/out of the overlapped borders (partition of unity
+    when tiles are laid out by _tile_starts with stride = tile - overlap)."""
+    import numpy as np
+
+    w = np.ones(size, np.float32)
+    if start > 0 and overlap > 0:
+        w[:overlap] = (np.arange(overlap) + 1) / (overlap + 1)
+    if start + size < total and overlap > 0:
+        w[-overlap:] = np.minimum(w[-overlap:],
+                                  ((np.arange(overlap) + 1) / (overlap + 1))[::-1])
+    return w
+
+
+def decode_frame_spatially_tiled(decoder_apply, params, z_frame,
+                                 tile: int = 48, overlap: int = 8,
+                                 upscale: int = 8):
+    """Decode one latent frame (h, w, C) in overlapping spatial tiles with
+    linear seam blending — bounds decode peak memory by TILE area instead of
+    frame area (the XL 576x1024 memory wall; the reference's answer is
+    per-frame decode only, `fsdp.py:165-179` — this goes one axis further,
+    like diffusers' enable_vae_tiling). Approximate at seams (the decoder's
+    GroupNorms see per-tile statistics); a single covering tile is exact.
+    """
+    h, w, c = z_frame.shape
+    tile_h, tile_w = min(tile, h), min(tile, w)
+    stride_h, stride_w = tile_h - overlap, tile_w - overlap
+    hs = _tile_starts(h, tile_h, max(1, stride_h))
+    ws = _tile_starts(w, tile_w, max(1, stride_w))
+    if len(hs) == 1 and len(ws) == 1:
+        return decoder_apply(params, z_frame[None])[0]
+
+    H, W = h * upscale, w * upscale
+    out = jnp.zeros((H, W, 3), jnp.float32)
+    norm = jnp.zeros((H, W, 1), jnp.float32)
+    for sh in hs:
+        for sw in ws:
+            zt = jax.lax.dynamic_slice(z_frame, (sh, sw, 0), (tile_h, tile_w, c))
+            img = decoder_apply(params, zt[None])[0]        # (tile*8, tile*8, 3)
+            wh = _blend_weight_1d(tile_h * upscale, sh * upscale, H,
+                                  overlap * upscale)
+            ww = _blend_weight_1d(tile_w * upscale, sw * upscale, W,
+                                  overlap * upscale)
+            mask = jnp.asarray(wh[:, None] * ww[None, :])[..., None]
+            out = jax.lax.dynamic_update_slice(
+                out, jax.lax.dynamic_slice(out, (sh * upscale, sw * upscale, 0),
+                                           (tile_h * upscale, tile_w * upscale, 3))
+                + img.astype(jnp.float32) * mask,
+                (sh * upscale, sw * upscale, 0))
+            norm = jax.lax.dynamic_update_slice(
+                norm, jax.lax.dynamic_slice(norm, (sh * upscale, sw * upscale, 0),
+                                            (tile_h * upscale, tile_w * upscale, 1))
+                + mask,
+                (sh * upscale, sw * upscale, 0))
+    return out / jnp.maximum(norm, 1e-6)
+
+
+def decode_frames_tiled(decoder_apply, params, latents, tile: int = 0,
+                        overlap: int = 8, upscale: int = 8):
     """Decode (F, h, w, C) latents frame-by-frame with optional spatial tiling.
 
     Mirrors the reference's per-frame decode loop (`fsdp.py:165-179`) but as a
-    scan over frames so peak memory is one frame's activations. tile=0 disables
-    spatial tiling (single-frame activations fit comfortably at 576x320).
+    scan over frames so peak memory is one frame's activations. tile>0
+    additionally tiles each frame spatially (decode_frame_spatially_tiled) —
+    peak memory becomes one TILE's activations (XL headroom); tile=0 keeps
+    exact full-frame decode (single-frame activations fit at 576x320).
     """
     def one(carry, z):
-        img = decoder_apply(params, z[None])[0]
+        if tile:
+            img = decode_frame_spatially_tiled(decoder_apply, params, z,
+                                               tile=tile, overlap=overlap,
+                                               upscale=upscale)
+        else:
+            img = decoder_apply(params, z[None])[0]
         return carry, img
 
     _, frames = jax.lax.scan(one, None, latents)

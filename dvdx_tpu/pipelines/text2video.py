@@ -285,6 +285,7 @@ def build_segmented_runner(
     segment_steps: int = 10,
     cfg_split: bool = False,
     latent_dtype=jnp.bfloat16,
+    decode_tile: int = 0,
 ):
     """Generation split into bounded device launches.
 
@@ -306,9 +307,9 @@ def build_segmented_runner(
     enc = jax.jit(lambda p, ids: pipe.text_encoder.apply(p["text"], ids)[0])
     noise = jax.jit(lambda k: rng_ops.video_noise(k, num_frames, (lh, lw, c),
                                                   jnp.float32))
-    dec = jax.jit(lambda p, z: decode_frames_tiled(pipe.vae_decoder.apply,
-                                                   p["vae_dec"],
-                                                   z.astype(jnp.float32)))
+    dec = jax.jit(lambda p, z: decode_frames_tiled(
+        pipe.vae_decoder.apply, p["vae_dec"], z.astype(jnp.float32),
+        tile=decode_tile, upscale=ds))
 
     seg_cache: Dict[int, Any] = {}
 
