@@ -40,7 +40,11 @@ def _keypair(seed: Optional[str], default_tag: str) -> Keypair:
 
 
 def _pipeline(model: str, perturb: bool, seed: int = 0, ckpt: str = ""):
-    pipe = build_pipeline(model, seed=seed)
+    from ..pipelines.text2video import resolve_pipeline
+
+    # `model` may be a registry name OR a diffusers checkpoint directory
+    # (pretrained weights + tokenizer); see pipelines.resolve_pipeline
+    pipe = resolve_pipeline(model, seed=seed)
     if ckpt:
         # shared weights via orbax checkpoint (the PoI determinism chain's
         # weight-distribution step; see utils/checkpoint)

@@ -120,6 +120,22 @@ def build_pipeline(model_name: str = "zeroscope-tiny", seed: int = 0,
     return Pipeline(spec=spec, unet=unet, text_encoder=text, vae_decoder=vae_dec, params=params)
 
 
+def resolve_pipeline(name_or_dir: str, seed: int = 0) -> Pipeline:
+    """Registry name -> random-init pipeline; a diffusers checkpoint
+    directory (has model_index.json or unet/config.json) -> pretrained
+    pipeline via utils.convert.load_diffusers_checkpoint. Lets every CLI
+    (`--model`) accept either — the reference's `from_pretrained` ergonomics."""
+    import os
+
+    if os.path.isdir(name_or_dir) and (
+            os.path.exists(os.path.join(name_or_dir, "model_index.json"))
+            or os.path.exists(os.path.join(name_or_dir, "unet", "config.json"))):
+        from ..utils.convert import load_diffusers_checkpoint
+
+        return load_diffusers_checkpoint(name_or_dir)
+    return build_pipeline(name_or_dir, seed=seed)
+
+
 def encode_prompts(pipe: Pipeline, prompts: List[str]) -> jax.Array:
     """Prompts -> encoder hidden states (B, S, D)."""
     ids = pipe.tokenize(prompts)

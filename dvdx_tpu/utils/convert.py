@@ -533,3 +533,53 @@ def load_diffusers_checkpoint(root: str, name: Optional[str] = None,
                     text_encoder=CLIPTextEncoder(spec.text),
                     vae_decoder=VAEDecoder(spec.vae), params=params,
                     tokenizer=tokenizer)
+
+
+def main(argv=None):
+    """Converter CLI: inspect/convert a diffusers checkpoint directory.
+
+      python -m dvdx_tpu.utils.convert --src /ckpts/zeroscope_v2_576w \\
+          [--orbax-out /ckpts/zeroscope_orbax] [--dtype bfloat16] [--cpu]
+
+    Prints a JSON summary (derived spec + per-component parameter counts);
+    --orbax-out additionally saves the converted tree as an orbax checkpoint
+    for the services' --params-ckpt weight-distribution path."""
+    import argparse
+    import json as _json
+
+    ap = argparse.ArgumentParser(description="diffusers -> dvdx_tpu converter")
+    ap.add_argument("--src", required=True, help="diffusers checkpoint dir")
+    ap.add_argument("--orbax-out", default="")
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from .init import param_count
+
+    pipe = load_diffusers_checkpoint(args.src, dtype=args.dtype)
+    summary = {
+        "model": pipe.spec.name,
+        "unet_params": param_count(pipe.params["unet"]),
+        "text_params": param_count(pipe.params["text"]),
+        "vae_dec_params": param_count(pipe.params["vae_dec"]),
+        "tokenizer": "clip-bpe" if pipe.tokenizer is not None else "hash-fallback",
+        "vocab_size": pipe.spec.text.vocab_size,
+        "block_out_channels": list(pipe.spec.unet.block_out_channels),
+        "cross_attention_dim": pipe.spec.unet.cross_attention_dim,
+        "dtype": args.dtype,
+    }
+    if args.orbax_out:
+        from .checkpoint import save_params
+
+        save_params(pipe.params, args.orbax_out)
+        summary["orbax_out"] = args.orbax_out
+    print(_json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
