@@ -279,6 +279,63 @@ class TemporalAttention(nn.Module):
         return residual + o
 
 
+class _FrameAxisAttention(nn.Module):
+    """Attention over the FRAME axis of (B, F, N, C) without re-laying the
+    tensor out — einsum keeps N (spatial positions) as a dot_general batch
+    dim. Profiling showed the (B,F,H,W,C)->(B*H*W,F,C) transposes of the
+    naive layout cost ~14% of the UNet step (docs/PERF_NOTES.md); this is
+    the same math with zero materialised transposes. Param tree identical to
+    `Attention` (to_q/to_k/to_v/to_out), so converted checkpoints load 1:1."""
+
+    num_heads: int
+    head_dim: int
+    out_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, f, n, _ = x.shape
+        inner = self.num_heads * self.head_dim
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(x)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(x)
+        q = q.reshape(b, f, n, self.num_heads, self.head_dim)
+        k = k.reshape(b, f, n, self.num_heads, self.head_dim)
+        v = v.reshape(b, f, n, self.num_heads, self.head_dim)
+        logits = jnp.einsum("bfnhd,bgnhd->bnhfg", q, k,
+                            preferred_element_type=jnp.float32)
+        logits = logits * (self.head_dim**-0.5)
+        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        o = jnp.einsum("bnhfg,bgnhd->bfnhd", probs, v,
+                       preferred_element_type=jnp.float32)
+        o = o.astype(self.dtype).reshape(b, f, n, inner)
+        return nn.Dense(self.out_dim, dtype=self.dtype, name="to_out")(o)
+
+
+class _TemporalBlock(nn.Module):
+    """BasicTransformerBlock semantics on (B, F, N, C) with frame-axis
+    attention (attn1 AND attn2 — diffusers double_self_attention). Same
+    submodule names as BasicTransformerBlock -> same checkpoint mapping."""
+
+    dim: int
+    num_heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.float32
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        h = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="norm1")(x)
+        x = x + _FrameAxisAttention(self.num_heads, self.head_dim, self.dim,
+                                    dtype=self.dtype, name="attn1")(h)
+        h = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="norm2")(x)
+        x = x + _FrameAxisAttention(self.num_heads, self.head_dim, self.dim,
+                                    dtype=self.dtype, name="attn2")(h)
+        h = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="norm3")(x)
+        x = x + GEGLUFeedForward(self.dim, dtype=self.dtype, name="ff")(h)
+        return x
+
+
 class TransformerTemporal(nn.Module):
     """Temporal transformer over the frame axis, matching diffusers
     TransformerTemporalModel (the module the reference's UNet3D uses for
@@ -312,14 +369,16 @@ class TransformerTemporal(nn.Module):
         # per channel group == diffusers' norm of (B, C, F, H, W)
         h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6,
                          dtype=self.dtype, name="norm")(x)
-        h = h.transpose(0, 2, 3, 1, 4).reshape(b * hh * ww, f, c)
+        # native-layout path: (B, F, N, C) with frame-axis einsum attention —
+        # zero transposes (the naive (B*H*W, F, C) relayout cost ~14% of the
+        # step; see docs/PERF_NOTES.md). Same math, same param names.
+        h = h.reshape(b, f, hh * ww, c)
         h = nn.Dense(c, dtype=self.dtype, name="proj_in")(h)
-        h = BasicTransformerBlock(c, self.num_heads, self.head_dim,
-                                  self.cross_attention_dim, double_self=True,
-                                  dtype=self.dtype, name="block0")(h, None)
+        h = _TemporalBlock(c, self.num_heads, self.head_dim,
+                           dtype=self.dtype, name="block0")(h)
         h = nn.Dense(c, dtype=self.dtype, kernel_init=nn.initializers.zeros,
                      name="proj_out_zero")(h)
-        h = h.reshape(b, hh, ww, f, c).transpose(0, 3, 1, 2, 4)
+        h = h.reshape(b, f, hh, ww, c)
         return residual + h
 
 
