@@ -29,6 +29,10 @@ class VisionConfig:
     num_heads: int = 12
     intermediate_size: int = 3072
     projection_dim: int = 512
+    # HF CLIPVisionModel parity knobs (openai ViT-B/32: quick_gelu, eps 1e-5);
+    # defaults keep the deterministic random-init tower bit-stable
+    hidden_act: str = "gelu_tanh"
+    layer_norm_eps: float = 1e-6
     dtype: str = "float32"
 
     @property
@@ -50,16 +54,18 @@ class _ViTBlock(nn.Module):
         cfg = self.cfg
         dt = cfg.compute_dtype
         hd = cfg.hidden_size // cfg.num_heads
-        h = nn.LayerNorm(dtype=dt, name="ln1")(x)
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=dt, name="ln1")(x)
         b, s, _ = h.shape
         q = nn.Dense(cfg.hidden_size, dtype=dt, name="q")(h).reshape(b, s, cfg.num_heads, hd)
         k = nn.Dense(cfg.hidden_size, dtype=dt, name="k")(h).reshape(b, s, cfg.num_heads, hd)
         v = nn.Dense(cfg.hidden_size, dtype=dt, name="v")(h).reshape(b, s, cfg.num_heads, hd)
         o = multi_head_attention(q, k, v).reshape(b, s, cfg.hidden_size)
         x = x + nn.Dense(cfg.hidden_size, dtype=dt, name="proj")(o)
-        h = nn.LayerNorm(dtype=dt, name="ln2")(x)
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=dt, name="ln2")(x)
         h = nn.Dense(cfg.intermediate_size, dtype=dt, name="fc1")(h)
-        h = nn.gelu(h, approximate=True)
+        from .text_encoder import _activation
+
+        h = _activation(cfg.hidden_act)(h)
         h = nn.Dense(cfg.hidden_size, dtype=dt, name="fc2")(h)
         return x + h
 
@@ -83,9 +89,10 @@ class CLIPVisionEncoder(nn.Module):
         pos = self.param("pos_embedding", nn.initializers.normal(0.02),
                          (1, x.shape[1], cfg.hidden_size))
         x = x + pos.astype(dt)
-        x = nn.LayerNorm(dtype=dt, name="pre_ln")(x)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=dt, name="pre_ln")(x)
         for i in range(cfg.num_layers):
             x = _ViTBlock(cfg, name=f"layer{i}")(x)
-        pooled = nn.LayerNorm(dtype=dt, name="post_ln")(x[:, 0])
+        pooled = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=dt,
+                              name="post_ln")(x[:, 0])
         return nn.Dense(cfg.projection_dim, use_bias=False, dtype=dt,
                         name="visual_projection")(pooled)

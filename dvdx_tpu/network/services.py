@@ -118,7 +118,17 @@ async def run_validator(args):
         width=args.width, height=args.height, num_frames=args.frames,
         num_steps=args.steps, results_dir=args.results_dir,
     )
-    validator = Validator(pipe, kp, registry, transport, ledger, vcfg)
+    scorer = None
+    if getattr(args, "clip_ckpt", ""):
+        # real pretrained CLIP scorer (the reference's
+        # openai/clip-vit-base-patch32, scoring.py:69-151)
+        from ..scoring.mdvqs import MDVQS
+        from ..utils.convert import load_clip_scorer
+
+        scorer = MDVQS(load_clip_scorer(args.clip_ckpt))
+        print(f"[validator] MD-VQS using pretrained CLIP from {args.clip_ckpt}")
+    validator = Validator(pipe, kp, registry, transport, ledger, vcfg,
+                          scorer=scorer)
     validator.register(f"{args.host}:{args.api_port}", stake=10**9)
 
     listener.start()
@@ -211,6 +221,9 @@ def build_parser():
     v.add_argument("--height", type=int, default=128)
     v.add_argument("--frames", type=int, default=3)
     v.add_argument("--steps", type=int, default=8)
+    v.add_argument("--clip-ckpt", default="",
+                   help="transformers CLIPModel checkpoint dir — pretrained "
+                        "MD-VQS scoring (utils.convert.load_clip_scorer)")
     v.add_argument("--poll-interval", type=float, default=2.0)
     v.add_argument("--concurrency", type=int, default=1)
     v.add_argument("--stuck-timeout", type=float, default=600.0)

@@ -27,13 +27,26 @@ from ..models.text_encoder import (
 from ..utils.init import fast_init
 
 
+CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
 @dataclasses.dataclass
 class CLIPScorer:
-    """Shared-projection-space text/image scorer."""
+    """Shared-projection-space text/image scorer.
+
+    preprocess: 'signed' ([-1,1] inputs, the deterministic random-init
+    tower's convention) or 'clip' (the real CLIP mean/std normalisation —
+    used when pretrained weights are loaded via
+    utils.convert.load_clip_scorer, matching the reference's
+    openai/clip-vit-base-patch32 processor). tokenizer: real CLIP BPE when
+    loaded from a checkpoint; None -> hash tokenizer."""
 
     vision_cfg: VisionConfig
     text_cfg: TextEncoderConfig
     params: Any
+    preprocess: str = "signed"
+    tokenizer: Any = None
     _jitted: Any = None
 
     @classmethod
@@ -63,10 +76,15 @@ class CLIPScorer:
             txt = CLIPTextEncoder(self.text_cfg)
             size = self.vision_cfg.image_size
 
+            mode = self.preprocess
+
             def score(params, frames, token_ids):
                 # frames (F, H, W, 3) f32 in [-1, 1]
                 f = frames.shape[0]
                 frames = jax.image.resize(frames, (f, size, size, 3), "bilinear")
+                if mode == "clip":
+                    x01 = (frames + 1.0) / 2.0
+                    frames = (x01 - CLIP_MEAN) / CLIP_STD
                 img_emb = vis.apply(params["vision"], frames)          # (F, D)
                 _, pooled = txt.apply(params["text"], token_ids)        # (1, Ht)
                 txt_emb = pooled @ params["text_proj"]                  # (1, D)
@@ -78,15 +96,19 @@ class CLIPScorer:
             self._jitted = jax.jit(score)
         return self._jitted
 
+    def _ids(self, prompt: str) -> np.ndarray:
+        if self.tokenizer is not None:
+            return self.tokenizer([prompt], max_length=self.text_cfg.max_length)
+        return tokenize_batch([prompt], self.text_cfg.vocab_size,
+                              self.text_cfg.max_length)
+
     def score_video(self, frames_uint8: np.ndarray, prompt: str) -> float:
         """frames (F, H, W, 3) uint8 -> scalar in [0, 1]."""
         frames = jnp.asarray(frames_uint8, jnp.float32) / 127.5 - 1.0
-        ids = tokenize_batch([prompt], self.text_cfg.vocab_size, self.text_cfg.max_length)
-        mean, _ = self._fn()(self.params, frames, jnp.asarray(ids))
+        mean, _ = self._fn()(self.params, frames, jnp.asarray(self._ids(prompt)))
         return float(mean)
 
     def frame_scores(self, frames_uint8: np.ndarray, prompt: str) -> np.ndarray:
         frames = jnp.asarray(frames_uint8, jnp.float32) / 127.5 - 1.0
-        ids = tokenize_batch([prompt], self.text_cfg.vocab_size, self.text_cfg.max_length)
-        _, cos = self._fn()(self.params, frames, jnp.asarray(ids))
+        _, cos = self._fn()(self.params, frames, jnp.asarray(self._ids(prompt)))
         return np.asarray(cos)

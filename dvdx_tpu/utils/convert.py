@@ -349,6 +349,98 @@ def convert_text_encoder(sd: Dict[str, np.ndarray],
     return {"params": m.unflatten()}
 
 
+def convert_clip_vision(sd: Dict[str, np.ndarray], cfg) -> Dict[str, Any]:
+    """transformers CLIPVisionModel(+projection) -> models.clip_vision params.
+
+    Handles the `vision_model.` tree of a full CLIPModel checkpoint (the
+    scorer the reference loads as openai/clip-vit-base-patch32,
+    `/root/reference/InferNet/template/validator/scoring.py:69-151`)."""
+    m = _Mapper(sd)
+    p = "vision_model."
+    m.put("cls_token",
+          m.take(f"{p}embeddings.class_embedding").reshape(1, 1, -1))
+    m.put("patch_embed/kernel",
+          t_conv2d(m.take(f"{p}embeddings.patch_embedding.weight")))
+    m.put("pos_embedding",
+          m.take(f"{p}embeddings.position_embedding.weight")[None])
+    m.norm("pre_ln", f"{p}pre_layrnorm")       # (sic — HF's key name)
+    for i in range(cfg.num_layers):
+        lp, ours = f"{p}encoder.layers.{i}", f"layer{i}"
+        m.norm(f"{ours}/ln1", f"{lp}.layer_norm1")
+        m.dense(f"{ours}/q", f"{lp}.self_attn.q_proj")
+        m.dense(f"{ours}/k", f"{lp}.self_attn.k_proj")
+        m.dense(f"{ours}/v", f"{lp}.self_attn.v_proj")
+        m.dense(f"{ours}/proj", f"{lp}.self_attn.out_proj")
+        m.norm(f"{ours}/ln2", f"{lp}.layer_norm2")
+        m.dense(f"{ours}/fc1", f"{lp}.mlp.fc1")
+        m.dense(f"{ours}/fc2", f"{lp}.mlp.fc2")
+    m.norm("post_ln", f"{p}post_layernorm")
+    m.dense("visual_projection", "visual_projection", bias=False)
+    leftovers = m.unused(ignore_prefixes=(f"{p}embeddings.position_ids",))
+    if leftovers:
+        raise ValueError(f"unconverted vision keys: {leftovers[:8]}")
+    return {"params": m.unflatten()}
+
+
+def load_clip_scorer(root: str):
+    """A transformers CLIPModel checkpoint directory (model.safetensors with
+    both towers + projections, config.json, tokenizer/) -> a CLIPScorer with
+    REAL weights, real preprocessing (CLIP mean/std) and the real BPE
+    tokenizer — the reference's openai/clip-vit-base-patch32 scorer
+    (`scoring.py:69-151`) without the diffusers/transformers runtime."""
+    from ..models.clip_vision import VisionConfig
+    from ..scoring.clip_score import CLIPScorer
+
+    cfgd = _read_config(root)
+    t = cfgd.get("text_config", cfgd)
+    v = cfgd.get("vision_config", cfgd)
+    text_cfg = TextEncoderConfig(
+        vocab_size=t.get("vocab_size", 49408),
+        hidden_size=t.get("hidden_size", 512),
+        num_layers=t.get("num_hidden_layers", 12),
+        num_heads=t.get("num_attention_heads", 8),
+        intermediate_size=t.get("intermediate_size", 2048),
+        max_length=t.get("max_position_embeddings", 77),
+        hidden_act=t.get("hidden_act", "quick_gelu"),
+        layer_norm_eps=t.get("layer_norm_eps", 1e-5),
+        eos_token_id=t.get("eos_token_id", 49407),
+        dtype="float32",
+    )
+    vision_cfg = VisionConfig(
+        image_size=v.get("image_size", 224),
+        patch_size=v.get("patch_size", 32),
+        hidden_size=v.get("hidden_size", 768),
+        num_layers=v.get("num_hidden_layers", 12),
+        num_heads=v.get("num_attention_heads", 12),
+        intermediate_size=v.get("intermediate_size", 3072),
+        projection_dim=cfgd.get("projection_dim", 512),
+        hidden_act=v.get("hidden_act", "quick_gelu"),
+        layer_norm_eps=v.get("layer_norm_eps", 1e-5),
+        dtype="float32",
+    )
+    sd = load_state_dict(root)
+    vision_sd = {k: a for k, a in sd.items()
+                 if k.startswith("vision_model.") or k.startswith("visual_projection")}
+    text_sd = {k: a for k, a in sd.items()
+               if k.startswith("text_model.") or k.startswith("text_projection")
+               or k == "logit_scale"}
+    params = {
+        "vision": convert_clip_vision(vision_sd, vision_cfg),
+        "text": convert_text_encoder(text_sd, text_cfg),
+        "text_proj": t_linear(text_sd["text_projection.weight"]),
+    }
+    tokenizer = None
+    tok_dir = os.path.join(root, "tokenizer")
+    for cand in (tok_dir, root):
+        if os.path.exists(os.path.join(cand, "vocab.json")):
+            from ..models.tokenizer import CLIPBPETokenizer
+
+            tokenizer = CLIPBPETokenizer.from_dir(cand)
+            break
+    return CLIPScorer(vision_cfg=vision_cfg, text_cfg=text_cfg, params=params,
+                      preprocess="clip", tokenizer=tokenizer)
+
+
 # --- VAE ----------------------------------------------------------------------
 
 
