@@ -27,6 +27,10 @@ def main(argv=None):
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--steps", type=int, default=25)
     ap.add_argument("--checkpoints", type=int, default=3)
+    ap.add_argument("--cfg-split", action="store_true",
+                    help="sequential-CFG step program (XL geometry on one "
+                         "16 GB chip); pinned in the request, honoured by "
+                         "both prover and verifier")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 
@@ -46,6 +50,7 @@ def main(argv=None):
     cfg = ValidatorConfig(sample_size=1, num_checkpoints=args.checkpoints,
                           num_frames=args.frames, width=args.width,
                           height=args.height, num_steps=args.steps,
+                          cfg_split=args.cfg_split,
                           timeout_s=3600.0)  # cold compiles exceed the default
     net = build_mock_network(n_miners=1, pipeline=pipe, validator_config=cfg)
 

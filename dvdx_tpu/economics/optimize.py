@@ -41,7 +41,11 @@ def cheapest_secure_point(params: EconParams = DEFAULT, gamma: float = 0.8,
     costs = np.array([audit_cost_per_job(params, a) for a in res["alpha"]])
     cost_grid = np.broadcast_to(costs[:, None], secure.shape).copy()
     cost_grid[~secure] = np.inf
-    ai, fi = np.unravel_index(np.argmin(cost_grid), cost_grid.shape)
+    ai, _ = np.unravel_index(np.argmin(cost_grid), cost_grid.shape)
+    # audit cost depends only on alpha; among secure f at the chosen alpha,
+    # take the LARGEST slash fraction — maximal one-shot deterrence at equal
+    # validator cost (f=0 would leave stake-slashing toothless)
+    fi = int(np.max(np.nonzero(secure[ai])[0]))
 
     dmin = d_min_grid(params, res=res)
     return {

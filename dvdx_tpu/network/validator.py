@@ -77,6 +77,28 @@ class ValidatorConfig:
     cfg_split: bool = False         # step-program identity (XL single-chip)
     min_score_to_record: float = 0.0
 
+    @classmethod
+    def from_economics(cls, gamma: float = 0.8, margin: float = 0.0,
+                       params=None, **overrides) -> "ValidatorConfig":
+        """Derive the protocol knobs from the Economics pillar: the cheapest
+        (audit rate alpha, slash fraction f) with EV_cheat < EV_honest for
+        every tamper strategy at the given trust decay gamma (the reference
+        hand-copies alpha*=0.30/f*=0.10/gamma=0.8 from its simulations into
+        InferNet/config.py:64-79 — here the closed loop is one call).
+        Raises if no secure point exists at this gamma."""
+        from ..economics.optimize import cheapest_secure_point
+        from ..economics.params import DEFAULT
+
+        pt = cheapest_secure_point(params or DEFAULT, gamma=gamma,
+                                   margin=margin)
+        if not pt.get("feasible"):
+            raise ValueError(f"no secure (alpha, f) region at gamma={gamma}")
+        base = dict(audit_rate=pt["alpha"], slash_fraction=pt["f"],
+                    trust_decay=gamma,
+                    num_checkpoints=(params or DEFAULT).num_checkpoints)
+        base.update(overrides)
+        return cls(**base)
+
 
 class Validator(Neuron):
     def __init__(self, pipeline: Pipeline, keypair: Keypair, registry: Registry,

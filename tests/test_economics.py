@@ -110,3 +110,22 @@ def test_logging_setup(tmp_path):
     assert logging.getLevelName(EVENT_LEVEL) == "EVENT"
     files = list(tmp_path.iterdir())
     assert files and files[0].read_text().count("miner3") >= 2
+
+
+def test_validator_config_from_economics():
+    """Closed loop economics -> protocol knobs (the reference hand-copies its
+    simulated alpha*/f*/gamma into InferNet/config.py:64-79)."""
+    from dvdx_tpu.network.validator import ValidatorConfig
+
+    cfg = ValidatorConfig.from_economics(gamma=0.8, num_steps=8)
+    assert 0.0 < cfg.audit_rate <= 1.0
+    assert 0.0 < cfg.slash_fraction <= 0.6
+    assert cfg.trust_decay == 0.8
+    assert cfg.num_steps == 8            # overrides pass through
+    # gamma=1.0 (no trust memory) needs more audit/slash; still feasible or
+    # raises with a clear message
+    try:
+        cfg2 = ValidatorConfig.from_economics(gamma=1.0)
+        assert cfg2.audit_rate >= cfg.audit_rate
+    except ValueError as e:
+        assert "secure" in str(e)
