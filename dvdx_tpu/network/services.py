@@ -119,14 +119,19 @@ async def run_validator(args):
         num_steps=args.steps, results_dir=args.results_dir,
     )
     scorer = None
-    if getattr(args, "clip_ckpt", ""):
-        # real pretrained CLIP scorer (the reference's
-        # openai/clip-vit-base-patch32, scoring.py:69-151)
+    if getattr(args, "clip_ckpt", "") or getattr(args, "lpips_ckpt", ""):
+        # real pretrained scorers (the reference's
+        # openai/clip-vit-base-patch32 + lpips(alex), scoring.py:69-151,269-309)
+        from ..scoring.clip_score import CLIPScorer
         from ..scoring.mdvqs import MDVQS
-        from ..utils.convert import load_clip_scorer
+        from ..utils.convert import load_clip_scorer, load_lpips
 
-        scorer = MDVQS(load_clip_scorer(args.clip_ckpt))
-        print(f"[validator] MD-VQS using pretrained CLIP from {args.clip_ckpt}")
+        clip = load_clip_scorer(args.clip_ckpt) if args.clip_ckpt \
+            else CLIPScorer.build()
+        lp = load_lpips(args.lpips_ckpt) if args.lpips_ckpt else None
+        scorer = MDVQS(clip, lpips_metric=lp)
+        print(f"[validator] MD-VQS scorers: clip={args.clip_ckpt or 'builtin'}"
+              f" lpips={args.lpips_ckpt or 'proxy'}")
     validator = Validator(pipe, kp, registry, transport, ledger, vcfg,
                           scorer=scorer)
     validator.register(f"{args.host}:{args.api_port}", stake=10**9)
@@ -221,6 +226,9 @@ def build_parser():
     v.add_argument("--height", type=int, default=128)
     v.add_argument("--frames", type=int, default=3)
     v.add_argument("--steps", type=int, default=8)
+    v.add_argument("--lpips-ckpt", default="",
+                   help="lpips(alex) checkpoint (.pth/.safetensors) — "
+                        "pretrained perceptual VQ term")
     v.add_argument("--clip-ckpt", default="",
                    help="transformers CLIPModel checkpoint dir — pretrained "
                         "MD-VQS scoring (utils.convert.load_clip_scorer)")

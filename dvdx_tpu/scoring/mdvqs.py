@@ -148,13 +148,23 @@ class MDVQS:
     beta: float = 0.3
     gamma: float = 0.3
     flow_scale: float = 8.0   # flow magnitude (px) at which TC hits 0.5
+    # real LPIPS metric (scoring.lpips.LPIPS, loaded via
+    # utils.convert.load_lpips) — None falls back to the deterministic
+    # random-projection proxy (no weights needed)
+    lpips_metric: Optional[object] = None
 
     def score(self, frames_uint8: np.ndarray, prompt: str) -> dict:
         auth = verify_video_authenticity(frames_uint8)
         pf = self.clip_scorer.score_video(frames_uint8, prompt)
 
         frames = jnp.asarray(frames_uint8, jnp.float32) / 127.5 - 1.0
-        lp = float(perceptual_distance_pairs(frames)) if frames_uint8.shape[0] > 1 else 0.0
+        if self.lpips_metric is not None:
+            lp = self.lpips_metric.consecutive_mean(
+                np.asarray(frames, np.float32))
+            metric = "lpips-alex"
+        else:
+            lp = float(perceptual_distance_pairs(frames)) if frames_uint8.shape[0] > 1 else 0.0
+            metric = "random-projection-proxy"
         vq = float(np.clip(1.0 - lp, 0.0, 1.0))
 
         flow = mean_flow_magnitude(frames_uint8)
@@ -170,5 +180,6 @@ class MDVQS:
             "temporal_consistency": tc,
             "flow_magnitude": flow,
             "perceptual_distance": lp,
+            "perceptual_metric": metric,
             **auth,
         }

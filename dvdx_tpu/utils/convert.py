@@ -441,6 +441,61 @@ def load_clip_scorer(root: str):
                       preprocess="clip", tokenizer=tokenizer)
 
 
+def convert_lpips(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """lpips-package ('alex') state dict -> scoring.lpips.LPIPS params.
+
+    Keys: scaling_layer.{shift,scale} (1,3,1,1), net.sliceK.I.{weight,bias}
+    (the torchvision AlexNet convs inside the slice Sequentials),
+    linK.model.1.weight (1,C,1,1). The reference's MD-VQS uses lpips(alex)
+    (`scoring.py:269-309`)."""
+    import numpy as _np
+
+    from ..scoring.lpips import ALEX_LAYERS, LPIPS_SCALE, LPIPS_SHIFT
+
+    m = _Mapper(sd)
+    out: Dict[str, Any] = {}
+    out["shift"] = (m.take("scaling_layer.shift").reshape(3)
+                    if m.has("scaling_layer.shift") else LPIPS_SHIFT)
+    out["scale"] = (m.take("scaling_layer.scale").reshape(3)
+                    if m.has("scaling_layer.scale") else LPIPS_SCALE)
+    # conv position inside each slice Sequential: slice1 starts with the
+    # conv; slices 2-3 start with the preceding maxpool
+    conv_idx = {1: 0, 2: 1, 3: 1, 4: 0, 5: 0}
+    for i in range(5):
+        k = f"net.slice{i + 1}.{conv_idx[i + 1]}"
+        out[f"conv{i}/kernel"] = t_conv2d(m.take(f"{k}.weight"))
+        out[f"conv{i}/bias"] = m.take(f"{k}.bias")
+        lin = m.take(f"lin{i}.model.1.weight")     # (1, C, 1, 1)
+        out[f"lin{i}"] = _np.ascontiguousarray(lin.reshape(-1))
+        if out[f"lin{i}"].shape[0] != ALEX_LAYERS[i][0]:
+            raise ValueError(f"lin{i} width {out[f'lin{i}'].shape} does not "
+                             f"match conv{i} channels {ALEX_LAYERS[i][0]}")
+    leftovers = m.unused()
+    if leftovers:
+        raise ValueError(f"unconverted LPIPS keys: {leftovers[:8]}")
+    return out
+
+
+def load_lpips(path: str):
+    """.pth/.safetensors LPIPS(alex) checkpoint -> scoring.lpips.LPIPS."""
+    import jax
+
+    from ..scoring.lpips import LPIPS
+
+    if os.path.isdir(path):
+        sd = load_state_dict(path)
+    elif path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        sd = {k: np.asarray(v, np.float32) for k, v in load_file(path).items()}
+    else:
+        import torch
+
+        raw = torch.load(path, map_location="cpu", weights_only=True)
+        sd = {k: v.detach().float().numpy() for k, v in raw.items()}
+    return LPIPS(params=jax.tree.map(lambda x: x, convert_lpips(sd)))
+
+
 # --- VAE ----------------------------------------------------------------------
 
 

@@ -483,3 +483,73 @@ class AutoencoderKLRef(nn.Module):
         x = e.mid_block.resnets[1](x)
         moments = self.quant_conv(e.conv_out(F.silu(e.conv_norm_out(x))))
         return moments[:, : moments.shape[1] // 2]
+
+
+# --- LPIPS (alex) ---------------------------------------------------------------
+
+
+class LPIPSRef(nn.Module):
+    """lpips-package architecture ('alex') with its exact state-dict keys:
+    scaling_layer.{shift,scale}, net.sliceK.I.*, linK.model.1.weight."""
+
+    def __init__(self):
+        super().__init__()
+
+        class Scaling(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.register_buffer("shift", torch.tensor(
+                    [-0.030, -0.088, -0.188]).view(1, 3, 1, 1))
+                self.register_buffer("scale", torch.tensor(
+                    [0.458, 0.448, 0.450]).view(1, 3, 1, 1))
+
+            def forward(self, x):
+                return (x - self.shift) / self.scale
+
+        class AlexSlices(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.slice1 = nn.Sequential(
+                    nn.Conv2d(3, 64, 11, stride=4, padding=2), nn.ReLU())
+                self.slice2 = nn.Sequential(
+                    nn.MaxPool2d(3, 2), nn.Conv2d(64, 192, 5, padding=2), nn.ReLU())
+                self.slice3 = nn.Sequential(
+                    nn.MaxPool2d(3, 2), nn.Conv2d(192, 384, 3, padding=1), nn.ReLU())
+                self.slice4 = nn.Sequential(
+                    nn.Conv2d(384, 256, 3, padding=1), nn.ReLU())
+                self.slice5 = nn.Sequential(
+                    nn.Conv2d(256, 256, 3, padding=1), nn.ReLU())
+
+            def forward(self, x):
+                taps = []
+                for k in range(1, 6):
+                    x = getattr(self, f"slice{k}")(x)
+                    taps.append(x)
+                return taps
+
+        class Lin(nn.Module):
+            def __init__(self, cin):
+                super().__init__()
+                self.model = nn.Sequential(
+                    nn.Dropout(0.0), nn.Conv2d(cin, 1, 1, bias=False))
+
+            def forward(self, x):
+                return self.model(x)
+
+        self.scaling_layer = Scaling()
+        self.net = AlexSlices()
+        for i, c in enumerate([64, 192, 384, 256, 256]):
+            setattr(self, f"lin{i}", Lin(c))
+
+    @staticmethod
+    def _norm(x, eps=1e-10):
+        return x / torch.sqrt((x**2).sum(dim=1, keepdim=True) + eps)
+
+    def forward(self, a, b):
+        fa = self.net(self.scaling_layer(a))
+        fb = self.net(self.scaling_layer(b))
+        d = 0.0
+        for i, (xa, xb) in enumerate(zip(fa, fb)):
+            sq = (self._norm(xa) - self._norm(xb)) ** 2
+            d = d + getattr(self, f"lin{i}")(sq).mean(dim=(2, 3)).squeeze(1)
+        return d
