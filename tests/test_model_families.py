@@ -99,3 +99,29 @@ def test_dit_strategy_mesh_compat(tiny_pipeline_module):
     frames = runner(pipe.params, jnp.asarray(ids), rng_ops.base_key(1))
     assert frames.shape == (8, 32, 32, 3)
     assert np.all(np.isfinite(np.asarray(frames)))
+
+
+def test_dit_family_poi_round():
+    """The verification stack is model-family-agnostic: a full PoI round
+    (bitwise re-execution, base-noise + video binding) over the v-prediction
+    video DiT — the denoiser is just `apply` to the shared StepEngine."""
+    import asyncio
+
+    from dvdx_tpu.network.mock import build_mock_network
+    from dvdx_tpu.network.validator import ValidatorConfig
+    from dvdx_tpu.pipelines.text2video import build_pipeline
+    from dvdx_tpu.utils.testing import perturb_zero_params
+
+    pipe = build_pipeline("dit-tiny", seed=0)
+    pipe.params = perturb_zero_params(pipe.params, seed=99)
+    cfg = ValidatorConfig(sample_size=1, num_checkpoints=2, num_frames=2,
+                          width=32, height=32, num_steps=3,
+                          guidance_scale=6.0)
+    net = build_mock_network(n_miners=1, pipeline=pipe, validator_config=cfg)
+    report = asyncio.new_event_loop().run_until_complete(
+        net.run_request("dit-poi", "a drifting nebula"))
+    d = report["miners"]["0"]
+    assert d["checks"]["reexecution"] is True
+    assert d.get("reexec_bitwise") is True
+    assert d["checks"].get("base_noise") is True
+    assert d["score"] > 0 and not d.get("cheat", False)
