@@ -9,11 +9,13 @@ Reference semantics (`/root/reference/InferNet/template/validator/scoring.py`):
   magnitude to [0,1].
 
 TPU-native substitutions (documented, not hidden):
-* LPIPS(alex) -> multi-scale random-projection perceptual distance in JAX
-  (deterministic conv features; random-feature perceptual metrics are a
-  standard LPIPS-class proxy and need no downloaded weights);
-* Farneback flow -> Farneback via cv2 on host (scoring is not a hot path) with
-  a pure-JAX gradient-based fallback when cv2 is unavailable.
+* LPIPS(alex): the REAL metric loads via utils.convert.load_lpips
+  (scoring/lpips.py — lpips-package layout, torch-parity-tested); without a
+  checkpoint the fallback is a deterministic multi-scale random-projection
+  perceptual distance (a standard LPIPS-class proxy, no weights needed);
+* Farneback flow -> Farneback via cv2 on host (downscaled to <=320 px wide,
+  magnitudes rescaled to native pixels) with a pure-JAX gradient-based
+  fallback when cv2 is unavailable.
 """
 
 from __future__ import annotations
@@ -113,25 +115,36 @@ def perceptual_distance_pairs(frames: jax.Array) -> jax.Array:
 # --- optical flow temporal consistency --------------------------------------
 
 
-def mean_flow_magnitude(frames_uint8: np.ndarray) -> float:
+def mean_flow_magnitude(frames_uint8: np.ndarray,
+                        max_width: int = 320) -> float:
     """Mean Farneback optical-flow magnitude between consecutive frames
-    (pixels/frame). Host-side cv2 like the reference (`scoring.py:311-343`)."""
+    (pixels/frame AT NATIVE scale). Host-side cv2 like the reference
+    (`scoring.py:311-343`), but computed on frames downscaled to
+    <=max_width — Farneback on 24 full-res XL frames costs tens of seconds
+    of validator CPU for the same motion statistic; magnitudes are rescaled
+    back to native pixels."""
     if frames_uint8.shape[0] < 2:
         return 0.0
     gray = frames_uint8.mean(axis=-1).astype(np.uint8)
+    scale = 1.0
+    w = gray.shape[2]
+    if w > max_width:
+        stride = int(np.ceil(w / max_width))
+        gray = gray[:, ::stride, ::stride]
+        scale = float(stride)
     mags = []
     for i in range(len(gray) - 1):
         if _HAS_CV2:
             flow = cv2.calcOpticalFlowFarneback(
                 gray[i], gray[i + 1], None, 0.5, 3, 15, 3, 5, 1.2, 0)
-            mags.append(float(np.linalg.norm(flow, axis=-1).mean()))
+            mags.append(scale * float(np.linalg.norm(flow, axis=-1).mean()))
         else:
             # fallback: normalised temporal gradient magnitude proxy
             dt = gray[i + 1].astype(np.float32) - gray[i].astype(np.float32)
             gx = np.gradient(gray[i].astype(np.float32), axis=1)
             gy = np.gradient(gray[i].astype(np.float32), axis=0)
             denom = np.sqrt(gx**2 + gy**2) + 1.0
-            mags.append(float(np.abs(dt / denom).mean()))
+            mags.append(scale * float(np.abs(dt / denom).mean()))
     return float(np.mean(mags))
 
 
