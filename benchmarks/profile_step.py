@@ -73,6 +73,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--trace-dir", default="/tmp/dvdx_trace")
     ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--geometry", choices=("std", "xl"), default="std",
+                    help="std = 16f@576x320/25 steps (CFG batched); "
+                         "xl = 24f@1024x576/50 steps (cfg_split, the "
+                         "flagship benchmark geometry)")
     args = ap.parse_args()
 
     import jax
@@ -91,8 +95,12 @@ def main():
     params = jax.device_put(pipe.params)
     ids = jnp.asarray(pipe.tokenize(["", "profile"]))
     uncond, cond = engine.encode_fn()(params, ids)
-    step, _ = engine.step_fn(25, 7.5)
-    z = engine.noise_fn(16, 40, 72, 4)(rng_ops.base_key(0))[None].astype(jnp.bfloat16)
+    if args.geometry == "xl":
+        num_steps, cfg_split, f, lh, lw = 50, True, 24, 72, 128
+    else:
+        num_steps, cfg_split, f, lh, lw = 25, False, 16, 40, 72
+    step, _ = engine.step_fn(num_steps, 7.5, cfg_split=cfg_split)
+    z = engine.noise_fn(f, lh, lw, 4)(rng_ops.base_key(0))[None].astype(jnp.bfloat16)
     jax.block_until_ready(step(params, z, jnp.int32(0), cond, uncond))  # warm
 
     os.makedirs(args.trace_dir, exist_ok=True)
