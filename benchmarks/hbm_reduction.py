@@ -53,8 +53,16 @@ def main():
                     help="memory is step-count-invariant (scan reuses "
                          "buffers); 2 keeps CPU compile time down")
     ap.add_argument("--modes", default="single,fsdp,hybrid,hybrid_ctx")
+    ap.add_argument("--devices", type=int, default=8,
+                    help="forced host-platform device count (the virtual "
+                         "chip pool meshes are carved from)")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
+
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "").split(
+            " --xla_force_host_platform_device_count")[0].strip()
+        + f" --xla_force_host_platform_device_count={args.devices}").strip()
 
     import jax
 
@@ -98,7 +106,7 @@ def main():
                               width=args.width, num_steps=args.steps)
         compiled = runner.fn.lower(params_shape, ids_shape, key).compile()
         row = per_device_bytes(compiled)
-        row["mesh"] = "x".join(map(str, meshes[mode]))
+        row["mesh"] = "x".join(map(str, shape))
         if mode == "single":
             base_total = row["total_mb"]
         if base_total:

@@ -24,7 +24,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention import multi_head_attention
+from ..ops.attention import multi_head_attention, ring_active
 
 
 def timestep_embedding(t: jax.Array, dim: int, max_period: float = 10000.0) -> jax.Array:
@@ -302,14 +302,29 @@ class _FrameAxisAttention(nn.Module):
         q = q.reshape(b, f, n, self.num_heads, self.head_dim)
         k = k.reshape(b, f, n, self.num_heads, self.head_dim)
         v = v.reshape(b, f, n, self.num_heads, self.head_dim)
-        logits = jnp.einsum("bfnhd,bgnhd->bnhfg", q, k,
-                            preferred_element_type=jnp.float32)
-        logits = logits * (self.head_dim**-0.5)
-        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-        o = jnp.einsum("bnhfg,bgnhd->bfnhd", probs, v,
-                       preferred_element_type=jnp.float32)
-        o = o.astype(self.dtype).reshape(b, f, n, inner)
-        return nn.Dense(self.out_dim, dtype=self.dtype, name="to_out")(o)
+        if ring_active():
+            # exact-CP (cp_exact strategy): re-lay out to (B*N, F, H, D) and
+            # run ring attention over the sharded frame axis — without this
+            # the einsum below forces GSPMD to all-gather K/V over frames,
+            # losing the memory scaling the strategy exists for. Only taken
+            # inside parallel.strategies' ring_context; the single-device
+            # step program (the PoI identity) never traces through it.
+            def to_ring(t):
+                return jnp.swapaxes(t, 1, 2).reshape(
+                    b * n, f, self.num_heads, self.head_dim)
+
+            o = multi_head_attention(to_ring(q), to_ring(k), to_ring(v),
+                                     impl="ring")
+            o = jnp.swapaxes(o.reshape(b, n, f, inner), 1, 2)
+        else:
+            logits = jnp.einsum("bfnhd,bgnhd->bnhfg", q, k,
+                                preferred_element_type=jnp.float32)
+            logits = logits * (self.head_dim**-0.5)
+            probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+            o = jnp.einsum("bnhfg,bgnhd->bfnhd", probs, v,
+                           preferred_element_type=jnp.float32)
+            o = o.astype(self.dtype).reshape(b, f, n, inner)
+        return nn.Dense(self.out_dim, dtype=self.dtype, name="to_out")(o.astype(self.dtype))
 
 
 class _TemporalBlock(nn.Module):

@@ -64,6 +64,13 @@ def ring_context(mesh, axis_name: str = "seq"):
         _RING_CTX.pop()
 
 
+def ring_active() -> bool:
+    """True while tracing inside a ring_context (exact-CP strategy). Layers
+    whose native layout differs from (B, S, H, D) check this to decide
+    whether to re-lay out for ring attention."""
+    return bool(_RING_CTX)
+
+
 def multi_head_attention(
     q: jax.Array,
     k: jax.Array,

@@ -147,13 +147,28 @@ _ONEPASS_MAX_SEQ = 4096
 
 
 def flash_attention(q, k, v, *, scale: float | None = None,
-                    block_q: int = 512, block_k: int = 512,
+                    block_q: int | None = None, block_k: int | None = None,
+                    onepass: bool | None = None,
                     interpret: bool = False):
     """Self-attention over (B, S, H, D) — drop-in for the XLA path in
-    ops.attention. Pads S to a block multiple; masks the key tail."""
+    ops.attention. Pads S to a block multiple; masks the key tail.
+
+    onepass=None auto-selects the single-pass kernel when S_pad fits the
+    VMEM residency bound; True/False forces the choice. Default blocks:
+    512 for the one-pass kernel (logits block_q x S_pad f32 must fit VMEM),
+    1024x1024 for the blocked recurrence (measured 2.7 -> 31.7 TFLOPS vs
+    512x512 at the XL spatial shape S=9216, BH=120 — benchmarks/attn_xl_ab)."""
     b, s, h, d = q.shape
     if scale is None:
         scale = d**-0.5
+    will_onepass = onepass
+    if will_onepass is None:
+        bq_probe = min(512, max(128, 1 << (s - 1).bit_length()))
+        will_onepass = s + ((-s) % bq_probe) <= _ONEPASS_MAX_SEQ
+    if block_q is None:
+        block_q = 512 if will_onepass else 1024
+    if block_k is None:
+        block_k = block_q
     block_q = min(block_q, max(128, 1 << (s - 1).bit_length()))
     block_k = min(block_k, block_q)
 
@@ -166,7 +181,9 @@ def flash_attention(q, k, v, *, scale: float | None = None,
             x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
         return x
 
-    if s_pad <= _ONEPASS_MAX_SEQ:
+    if onepass is None:
+        onepass = will_onepass and s_pad <= _ONEPASS_MAX_SEQ
+    if onepass:
         o = _onepass_bh(to_bh(q), to_bh(k), to_bh(v), float(scale), s,
                         block_q, interpret=interpret)
     else:

@@ -39,6 +39,16 @@ def tiny_pipeline_module():
 
 
 @pytest.fixture(scope="session")
+def tiny_hf_pipeline():
+    from dvdx_tpu.pipelines.text2video import build_pipeline
+    from dvdx_tpu.utils.testing import perturb_zero_params
+
+    pipe = build_pipeline("zeroscope-tiny-hf", seed=0)
+    pipe.params = perturb_zero_params(pipe.params, seed=99)
+    return pipe
+
+
+@pytest.fixture(scope="session")
 def tiny_pipeline():
     from dvdx_tpu.pipelines.text2video import build_pipeline
     from dvdx_tpu.utils.testing import perturb_zero_params

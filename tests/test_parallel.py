@@ -117,6 +117,30 @@ def test_cp_exact_matches_single_device(tiny_pipeline):
     np.testing.assert_allclose(a, b, atol=3e-2)  # decoded-pixel scale [-1,1]
 
 
+def test_cp_exact_hf_family_uses_ring(tiny_hf_pipeline):
+    """The diffusers-faithful temporal path (_FrameAxisAttention) must also
+    dispatch to ring attention under cp_exact — without the ring_active()
+    branch it silently degrades to GSPMD all-gathers of K/V over frames
+    (correct but unscalable; caught via HBM analysis, round 2)."""
+    pipe = tiny_hf_pipeline
+    ids = jnp.asarray(tokenize_batch(["", "a waterfall"], pipe.spec.text.vocab_size,
+                                     pipe.spec.text.max_length))
+    key = rng_ops.base_key(9)
+    single = build_runner(pipe, get_strategy("single"),
+                          make_mesh((1, 1, 1), devices=[jax.devices()[0]]),
+                          num_frames=8, height=32, width=32, num_steps=2)
+    cp = build_runner(pipe, get_strategy("cp_exact", shard_params=False),
+                      make_mesh((1, 1, 8)),
+                      num_frames=8, height=32, width=32, num_steps=2)
+    # the ring path must actually be in the compiled program: exact CP shows
+    # up as collective-permute (ppermute ring steps) in the SPMD module
+    hlo = cp.fn.lower(pipe.params, ids, key).compile().as_text()
+    assert "collective-permute" in hlo
+    a = np.asarray(single(pipe.params, ids, key), np.float32)
+    b = np.asarray(cp(pipe.params, ids, key), np.float32)
+    np.testing.assert_allclose(a, b, atol=3e-2)  # decoded-pixel scale [-1,1]
+
+
 def test_batched_generation_over_data_axis(tiny_pipeline):
     """batch_size > 1 shards videos over the mesh `data` axis (DP serving)."""
     pipe = tiny_pipeline
