@@ -162,8 +162,15 @@ def main():
             "xl_sec_per_step": round(xl_sec / XL_STEPS, 3),
             "xl_compile_plus_first_s": round(xl_compile_s, 1),
         }
+    except Exception as e:
+        xl = {"xl_error": str(e)[:160]}
+    try:
         # flagship verify overhead: one launch, k=3 XL steps, cfg_split
-        # program (the step-program identity the XL request pins)
+        # program (the step-program identity the XL request pins). Separate
+        # try: a verify-side failure must not discard the measured XL rows.
+        if "xl_sec_per_video" not in xl:
+            raise RuntimeError("xl generation did not complete")
+        xl_sec = xl["xl_sec_per_video"]
         ue, ce = engine.encode_fn()(params, xl_ids)
         zxl = engine.noise_fn(XL_FRAMES, XL_HEIGHT // 8, XL_WIDTH // 8, 4)(key)
         zsx = jnp.stack([zxl.astype(jnp.bfloat16)] * 3)
@@ -179,7 +186,7 @@ def main():
             "verify_steps_fraction": round(3 / XL_STEPS, 3),
         })
     except Exception as e:
-        xl = {"xl_error": str(e)[:160]}
+        xl["xl_verify_error"] = str(e)[:160]
 
     result = {
         "metric": "sec/video (zeroscope-576w 16f@576x320, 25 steps, 1 chip)",

@@ -25,7 +25,14 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from dvdx_tpu.ops.attention import _xla_attention
 from dvdx_tpu.ops.pallas import flash_attention as fa
 
-B, S, H, D = 24, 9216, 5, 64
+import argparse
+
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--shape", default="24,9216,5,64",
+                 help="B,S,H,D (default: XL level-0 spatial; std geometry "
+                      "CFG-batched is 32,2880,5,64)")
+_ns = _ap.parse_args()
+B, S, H, D = (int(x) for x in _ns.shape.split(","))
 FLOPS = 4 * B * H * S * S * D
 
 
@@ -61,6 +68,8 @@ def _bench(name, fn, n=6):
 
 def main():
     scale = D ** -0.5
+    bench("auto (model default)",
+          lambda q, k, v: fa.flash_attention(q, k, v, scale=scale))
     bench("xla", lambda q, k, v: _xla_attention(q, k, v, scale))
     for bq, bk in ((512, 512), (1024, 512), (1024, 1024), (2048, 1024)):
         bench(f"blocked bq={bq} bk={bk}",

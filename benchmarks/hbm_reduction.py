@@ -59,10 +59,13 @@ def main():
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
+    import re
+
+    stripped = re.sub(r"--xla_force_host_platform_device_count=\d+", "",
+                      os.environ.get("XLA_FLAGS", "")).strip()
     os.environ["XLA_FLAGS"] = (
-        os.environ.get("XLA_FLAGS", "").split(
-            " --xla_force_host_platform_device_count")[0].strip()
-        + f" --xla_force_host_platform_device_count={args.devices}").strip()
+        stripped + f" --xla_force_host_platform_device_count={args.devices}"
+    ).strip()
 
     import jax
 

@@ -10,8 +10,10 @@ Endpoints (parity with `/root/reference/InferNet/api/prompt_api.py:15-212`):
   POST /refund/<id>      — manual refund of a stuck request
   GET  /health
 plus infra endpoints the chainless deployment needs:
-  POST /register {pubkey, address, role, stake} — neuron registration
-        (the subtensor-registration analog)
+  POST /register {pubkey, address, role, stake, platform, signature} —
+        neuron registration (the subtensor-registration analog); signature
+        is Ed25519 over verify.proof.registration_message so the platform
+        pin is bound to the key owner
   GET  /registry — metagraph snapshot for miners' sync loops
   POST /deposit {user, request_id, prompt_hash, amount} — dev/test faucet
         path standing in for the on-chain depositAndCommit transaction
@@ -123,10 +125,25 @@ def create_app(ledger: Ledger, listener: DepositListener, registry: Registry,
         body = await request.json()
         try:
             stake = int(body.get("stake", 0))
-            uid = registry.register(bytes.fromhex(body["pubkey"]),
-                                    body["address"], body.get("role", "miner"),
+            pubkey = bytes.fromhex(body["pubkey"])
+            role = body.get("role", "miner")
+            platform = str(body.get("platform", ""))
+            # the registry entry (address routing + the platform pin that
+            # decides bitwise-vs-tolerance verification) belongs to the key
+            # owner: require an Ed25519 signature over the canonical
+            # registration message — an unauthenticated pin is exactly the
+            # downgrade/impersonation surface of ADVICE r1 / review r2
+            from ..verify.proof import verify_registration_signature
+
+            sig = bytes.fromhex(body.get("signature", ""))
+            if not verify_registration_signature(pubkey, body["address"],
+                                                 role, platform, sig):
+                return cors(web.json_response(
+                    {"error": "invalid registration signature"}, status=403))
+            uid = registry.register(pubkey,
+                                    body["address"], role,
                                     stake,
-                                    platform=str(body.get("platform", "")))
+                                    platform=platform)
             # dev-faucet semantics: mirror the declared stake onto the ledger
             # so record_submission's staked-miner requirement holds (a real
             # deployment replaces this with an on-chain stake transaction)

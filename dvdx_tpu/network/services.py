@@ -74,6 +74,10 @@ async def run_miner(args):
     async def sync_loop():
         # register + periodically resync the registry snapshot
         # (BaseMinerNeuron run loop, template/base/miner.py:86-153)
+        from ..verify.proof import sign_registration
+
+        platform = __import__("jax").default_backend()
+        reg_sig = sign_registration(kp, address, "miner", platform)
         async with aiohttp.ClientSession() as sess:
             while True:
                 try:
@@ -82,7 +86,8 @@ async def run_miner(args):
                         json={"pubkey": kp.public_bytes.hex(),
                               "address": address, "role": "miner",
                               "stake": args.stake,
-                              "platform": __import__("jax").default_backend()},
+                              "platform": platform,
+                              "signature": reg_sig.hex()},
                     ) as r:
                         uid = (await r.json()).get("uid")
                     async with sess.get(f"http://{args.validator_api}/registry") as r:
@@ -129,7 +134,11 @@ async def run_validator(args):
         clip = load_clip_scorer(args.clip_ckpt) if args.clip_ckpt \
             else CLIPScorer.build()
         lp = load_lpips(args.lpips_ckpt) if args.lpips_ckpt else None
-        scorer = MDVQS(clip, lpips_metric=lp)
+        # same PF/VQ/TC weighting as the non-pretrained fallback scorer —
+        # switching on pretrained towers must only swap the metric, not the
+        # reward mix
+        scorer = MDVQS(clip, alpha=vcfg.mdvqs_alpha, beta=vcfg.mdvqs_beta,
+                       gamma=vcfg.mdvqs_gamma, lpips_metric=lp)
         print(f"[validator] MD-VQS scorers: clip={args.clip_ckpt or 'builtin'}"
               f" lpips={args.lpips_ckpt or 'proxy'}")
     validator = Validator(pipe, kp, registry, transport, ledger, vcfg,

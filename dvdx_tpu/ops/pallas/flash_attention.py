@@ -144,6 +144,9 @@ def _onepass_bh(q, k, v, scale: float, seq_len: int, block_q: int,
 # max padded seq len for the single-pass path: logits block (block_q x S_pad)
 # f32 + K/V residency must fit VMEM
 _ONEPASS_MAX_SEQ = 4096
+# VMEM budget for the one-pass logits block (block_q x S_pad f32); beyond it
+# auto-dispatch falls back to the blocked recurrence even when S_pad is short
+_ONEPASS_LOGITS_BYTES = 8 * 2**20
 
 
 def flash_attention(q, k, v, *, scale: float | None = None,
@@ -161,12 +164,17 @@ def flash_attention(q, k, v, *, scale: float | None = None,
     b, s, h, d = q.shape
     if scale is None:
         scale = d**-0.5
-    will_onepass = onepass
-    if will_onepass is None:
-        bq_probe = min(512, max(128, 1 << (s - 1).bit_length()))
-        will_onepass = s + ((-s) % bq_probe) <= _ONEPASS_MAX_SEQ
+    if onepass is None:
+        # decide with the block size the caller asked for (512 default):
+        # one-pass needs short-enough S AND its logits block within VMEM —
+        # explicitly requested large blocks therefore force the blocked path
+        # instead of being silently ignored
+        bq = min(block_q or 512, max(128, 1 << (s - 1).bit_length()))
+        s_probe = s + ((-s) % bq)
+        onepass = (s_probe <= _ONEPASS_MAX_SEQ
+                   and bq * s_probe * 4 <= _ONEPASS_LOGITS_BYTES)
     if block_q is None:
-        block_q = 512 if will_onepass else 1024
+        block_q = 512 if onepass else 1024
     if block_k is None:
         block_k = block_q
     block_q = min(block_q, max(128, 1 << (s - 1).bit_length()))
@@ -181,8 +189,6 @@ def flash_attention(q, k, v, *, scale: float | None = None,
             x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
         return x
 
-    if onepass is None:
-        onepass = will_onepass and s_pad <= _ONEPASS_MAX_SEQ
     if onepass:
         o = _onepass_bh(to_bh(q), to_bh(k), to_bh(v), float(scale), s,
                         block_q, interpret=interpret)

@@ -115,37 +115,57 @@ def run_coordinated(
         import socket as _socket
         import struct
 
+        def recv_one(conn):
+            """One framed chunk off `conn`; raises on short/corrupt stream —
+            the caller treats that as a per-chunk failure (retry path), not
+            a coordinator crash."""
+            r0 = time.time()
+            header = b""
+            while len(header) < 16:
+                part = conn.recv(16 - len(header))
+                if not part:
+                    raise IOError("short chunk header")
+                header += part
+            if header[:8] != b"DVDXCHNK":
+                raise IOError(f"bad chunk magic {header[:8]!r}")
+            start, ln = struct.unpack(">II", header[8:16])
+            payload = bytearray()
+            while len(payload) < ln:
+                part = conn.recv(min(1 << 20, ln - len(payload)))
+                if not part:
+                    raise IOError("short chunk stream")
+                payload += part
+            return start, ln, bytes(payload), time.time() - r0
+
         pending = {i for _, _, i in procs}
         server.settimeout(1.0)
         gather_t0 = None
         deadline = time.time() + 600
+        draining = False  # all workers exited: one last sweep of the backlog
         while pending and time.time() < deadline:
             try:
                 conn, _ = server.accept()
             except _socket.timeout:
+                if draining:
+                    break  # backlog empty; whatever is left failed
                 if all(p.poll() is not None for p, _, _ in procs):
-                    break  # all workers exited; whatever is left failed
+                    # workers are done, but a delivery may still sit in the
+                    # accept backlog (connect+send+exit within our timeout
+                    # window) — keep accepting until one timeout comes back
+                    # empty instead of misclassifying it as a failure
+                    draining = True
                 continue
-            with conn:
-                r0 = time.time()
-                gather_t0 = gather_t0 or r0
-                header = b""
-                while len(header) < 16:
-                    part = conn.recv(16 - len(header))
-                    if not part:
-                        raise IOError("short chunk header")
-                    header += part
-                assert header[:8] == b"DVDXCHNK", header
-                start, ln = struct.unpack(">II", header[8:16])
-                payload = bytearray()
-                while len(payload) < ln:
-                    part = conn.recv(min(1 << 20, ln - len(payload)))
-                    if not part:
-                        raise IOError("short chunk stream")
-                    payload += part
-                recv_s = time.time() - r0
-            i = start_to_idx[start]
-            chunks[i] = np.load(io.BytesIO(bytes(payload)))["latent"]
+            try:
+                with conn:
+                    gather_t0 = gather_t0 or time.time()
+                    start, ln, payload, recv_s = recv_one(conn)
+                i = start_to_idx.get(start)
+                if i is None:
+                    raise IOError(f"unknown chunk start {start}")
+                chunks[i] = np.load(io.BytesIO(payload))["latent"]
+            except Exception as e:  # corrupt/partial delivery -> retry path
+                print(f"[coordinator] discarded bad chunk delivery: {e}")
+                continue
             net["measured_network_bytes"] += 16 + ln
             net["per_chunk_recv_s"].append(round(recv_s, 4))
             pending.discard(i)
@@ -168,16 +188,18 @@ def run_coordinated(
         return failures
 
     chunks: List[Optional[np.ndarray]] = [None] * plan.num_chunks
-    failures = collect(procs)
-    if failures:
-        # elastic recovery (absent in the reference, SURVEY.md §5): chunk
-        # inputs are pure functions of (seed, range), so any failed chunk can
-        # be re-derived by a fresh worker — retry once before giving up
-        failures = collect([launch_worker(i, "_retry") for i, _err in failures])
+    try:
+        failures = collect(procs)
         if failures:
-            raise RuntimeError(f"workers failed after retry: {failures}")
-    if server is not None:
-        server.close()
+            # elastic recovery (absent in the reference, SURVEY.md §5): chunk
+            # inputs are pure functions of (seed, range), so any failed chunk
+            # can be re-derived by a fresh worker — retry once before giving up
+            failures = collect([launch_worker(i, "_retry") for i, _err in failures])
+            if failures:
+                raise RuntimeError(f"workers failed after retry: {failures}")
+    finally:
+        if server is not None:
+            server.close()
     worker_s = time.time() - t0
 
     latent = stitch_chunks(chunks, plan)  # (F, lh, lw, C)

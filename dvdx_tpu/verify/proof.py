@@ -91,6 +91,33 @@ def verify_proof_signature(public_bytes: bytes, challenge: bytes, seed: int,
     return verify_signature(public_bytes, msg, signature)
 
 
+def registration_message(pubkey: bytes, address: str, role: str,
+                         platform: str) -> bytes:
+    """Canonical byte string a neuron signs to register/update its registry
+    entry (length-prefixed fields — no separator injection). Binding the
+    platform pin to the key owner closes the downgrade where a third party
+    re-registers a victim's pubkey with a bogus platform (or a miner pins a
+    foreign backend it does not run) without holding the key."""
+    def lp(b: bytes) -> bytes:
+        return len(b).to_bytes(2, "big") + b
+
+    return (b"dvdx-register" + lp(pubkey) + lp(address.encode())
+            + lp(role.encode()) + lp(platform.encode()))
+
+
+def sign_registration(keypair: Keypair, address: str, role: str,
+                      platform: str) -> bytes:
+    return keypair.sign(registration_message(
+        keypair.public_bytes, address, role, platform))
+
+
+def verify_registration_signature(public_bytes: bytes, address: str, role: str,
+                                  platform: str, signature: bytes) -> bool:
+    return verify_signature(
+        public_bytes,
+        registration_message(public_bytes, address, role, platform), signature)
+
+
 def sample_spotcheck_indices(
     merkle_root: bytes,
     challenge: bytes,

@@ -137,10 +137,27 @@ def test_rest_api_lifecycle():
                     "pubkey": ukp.public_bytes.hex(),
                     "signature": ("00" * 64)}) as r:
                     assert r.status == 403
-                # neuron registration endpoints
+                # neuron registration endpoints: the registry entry (and its
+                # platform pin) must be signed by the key owner
+                from dvdx_tpu.verify.proof import Keypair, sign_registration
+                mkp = Keypair.from_seed(b"reg-test")
+                sig = sign_registration(mkp, "1.2.3.4:5", "miner", "")
                 async with sess.post(f"{base}/register", json={
-                    "pubkey": "aa" * 32, "address": "1.2.3.4:5", "stake": 7}) as r:
+                    "pubkey": mkp.public_bytes.hex(), "address": "1.2.3.4:5",
+                    "stake": 7, "signature": sig.hex()}) as r:
                     assert (await r.json())["uid"] == 0
+                # unsigned (or wrongly signed) registration is rejected
+                async with sess.post(f"{base}/register", json={
+                    "pubkey": "aa" * 32, "address": "1.2.3.4:5",
+                    "stake": 7}) as r:
+                    assert r.status == 403
+                # signature binds the platform pin: same key, different
+                # platform than signed -> rejected (downgrade surface)
+                async with sess.post(f"{base}/register", json={
+                    "pubkey": mkp.public_bytes.hex(), "address": "1.2.3.4:5",
+                    "stake": 7, "platform": "cpu",
+                    "signature": sig.hex()}) as r:
+                    assert r.status == 403
                 async with sess.get(f"{base}/registry") as r:
                     snap = await r.json()
                     assert snap["0"]["stake"] == 7
