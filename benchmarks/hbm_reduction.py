@@ -52,7 +52,8 @@ def main():
     ap.add_argument("--steps", type=int, default=2,
                     help="memory is step-count-invariant (scan reuses "
                          "buffers); 2 keeps CPU compile time down")
-    ap.add_argument("--modes", default="single,fsdp,hybrid,hybrid_ctx")
+    ap.add_argument("--modes",
+                    default="single,fsdp,hybrid,hybrid_ctx,cp_exact@1x4x2")
     ap.add_argument("--devices", type=int, default=8,
                     help="forced host-platform device count (the virtual "
                          "chip pool meshes are carved from)")

@@ -9,7 +9,9 @@ classifier-free-guidance-ready (batch dim carries [uncond, cond]).
 
 TPU-first redesign choices (NOT a translation):
 * layout (B, F, H, W, C) channel-last; spatial ops fold frames into batch
-  ((B*F, H, W, C)) so every conv/matmul is one big MXU-friendly batch.
+  ((B*F, H, W, C)) so every conv/matmul is one big MXU-friendly batch. Under
+  exact CP the fold flips to frames-major (F*B) so the frame sharding stays
+  GSPMD-expressible (ops/layout.py).
 * static shapes, pure apply; the denoise loop is `lax.scan`-able.
 * rotary temporal positions so frame-chunked shards see absolute positions.
 * all temporal mixers zero-init => identity at init (golden-testable).
@@ -24,6 +26,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops.layout import fold_frames, per_frame, unfold_frames
 from .layers import (
     Downsample2D,
     ResnetBlock2D,
@@ -126,18 +129,18 @@ class _LevelBlock(nn.Module):
         cfg = self.cfg
         dt = cfg.compute_dtype
         b, f = x.shape[0], x.shape[1]
-        xs = x.reshape((b * f,) + x.shape[2:])
+        xs = fold_frames(x)
         xs = ResnetBlock2D(self.out_channels, cfg.norm_groups, dt,
                            eps=cfg.norm_eps, name="resnet")(xs, temb_pf)
-        x = xs.reshape((b, f) + xs.shape[1:])
+        x = unfold_frames(xs, b, f)
         x = TemporalConvBlock(self.out_channels, cfg.temporal_conv_layers, cfg.norm_groups,
                               dt, eps=cfg.norm_eps, name="temp_conv")(x)
         if self.has_attention:
             heads = max(1, self.out_channels // cfg.attention_head_dim)
-            xs = x.reshape((b * f,) + x.shape[2:])
+            xs = fold_frames(x)
             xs = SpatialTransformer(heads, cfg.attention_head_dim, cfg.cross_attention_dim,
                                     groups=cfg.norm_groups, dtype=dt, name="spatial_attn")(xs, context_pf)
-            x = xs.reshape((b, f) + xs.shape[1:])
+            x = unfold_frames(xs, b, f)
             if cfg.use_temporal_attention:
                 x = _temporal_mixer(cfg, self.out_channels,
                                     "temporal_attn")(x, frame_positions)
@@ -171,15 +174,16 @@ class UNet3D(nn.Module):
         ch0 = cfg.block_out_channels[0]
         temb = timestep_embedding(timesteps, ch0)
         temb = TimeEmbedding(ch0 * 4, dt, name="time_embedding")(temb)
-        # per-frame broadcast of time embedding and text context
-        temb_pf = jnp.repeat(temb, f, axis=0)  # (B*F, D)
+        # per-frame broadcast of time embedding and text context, in the
+        # active spatial fold order (ops/layout.py)
+        temb_pf = per_frame(temb, f)  # (B*F or F*B, D)
         context = encoder_hidden_states.astype(dt)
-        context_pf = jnp.repeat(context, f, axis=0)  # (B*F, T, Dx)
+        context_pf = per_frame(context, f)  # (B*F or F*B, T, Dx)
 
         x = latents.astype(dt)
-        xs = x.reshape(b * f, h, w, cfg.in_channels)
+        xs = fold_frames(x)
         xs = nn.Conv(ch0, (3, 3), padding="SAME", dtype=dt, name="conv_in")(xs)
-        x = xs.reshape(b, f, h, w, ch0)
+        x = unfold_frames(xs, b, f)
 
         # transformer_in: temporal attention right after conv_in. In the
         # diffusers UNet3D this is TransformerTemporalModel(heads=8,
@@ -206,9 +210,9 @@ class UNet3D(nn.Module):
                                 name=f"down_{level}_{blk}")(x, temb_pf, context_pf, frame_positions)
                 skips.append(x)
             if level < num_levels - 1:
-                xs = x.reshape((b * f,) + x.shape[2:])
+                xs = fold_frames(x)
                 xs = Downsample2D(out_ch, dt, name=f"down_{level}_downsample")(xs)
-                x = xs.reshape((b, f) + xs.shape[1:])
+                x = unfold_frames(xs, b, f)
                 skips.append(x)
 
         # --- mid ---
@@ -225,18 +229,18 @@ class UNet3D(nn.Module):
                 x = _LevelBlock(cfg, out_ch, cfg.cross_attention_levels[level],
                                 name=f"up_{level}_{blk}")(x, temb_pf, context_pf, frame_positions)
             if level > 0:
-                xs = x.reshape((b * f,) + x.shape[2:])
+                xs = fold_frames(x)
                 xs = Upsample2D(out_ch, dt, name=f"up_{level}_upsample")(xs)
-                x = xs.reshape((b, f) + xs.shape[1:])
+                x = unfold_frames(xs, b, f)
 
         assert not skips
-        xs = x.reshape((b * f,) + x.shape[2:])
+        xs = fold_frames(x)
         xs = nn.GroupNorm(num_groups=cfg.norm_groups, epsilon=cfg.norm_eps,
                           dtype=dt, name="conv_norm_out")(xs)
         xs = nn.silu(xs)
         xs = nn.Conv(cfg.out_channels, (3, 3), padding="SAME", dtype=dt,
                      kernel_init=nn.initializers.zeros, name="conv_out_zero")(xs)
-        return xs.reshape(b, f, h, w, cfg.out_channels).astype(latents.dtype)
+        return unfold_frames(xs, b, f).astype(latents.dtype)
 
 
 def init_unet_params(cfg: UNet3DConfig, seed: int = 0, frames: int = 2, size: Tuple[int, int] = (16, 16)):

@@ -150,10 +150,16 @@ def build_runner(
 
     def core(params, token_ids, noise_key):
         if strategy.exact_cp and seq > 1:
-            # temporal attention as ring attention over the sharded frame axis
+            # temporal attention as ring attention over the sharded frame
+            # axis; frames-major spatial folds so the frame sharding stays
+            # GSPMD-expressible through the (F*B, H, W, C) merges — with the
+            # default batch-major fold every spatial activation would be
+            # all-gathered (replicated per chip), defeating the strategy's
+            # memory scaling (ops/layout.py)
             from ..ops.attention import ring_context
+            from ..ops.layout import frames_major
 
-            with ring_context(mesh, "seq"):
+            with ring_context(mesh, "seq"), frames_major():
                 return _core_body(params, token_ids, noise_key)
         return _core_body(params, token_ids, noise_key)
 
