@@ -19,7 +19,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-MODES = ["fsdp", "chunk", "hybrid", "hybrid_ctx"]
+MODES = ["fsdp", "chunk", "hybrid", "hybrid_ctx", "cp_exact"]
 EMUS = ["ethernet", "wifi"]
 
 
