@@ -24,10 +24,6 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
-if "xla_force_host_platform_device_count" not in os.environ["XLA_FLAGS"]:
-    os.environ["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
-
 _DTYPE_BYTES = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
                 "s16": 2, "u16": 2, "s8": 1, "u8": 1, "pred": 1, "s64": 8,
                 "u64": 8}
@@ -61,6 +57,17 @@ def main():
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--min-mb", type=float, default=0.0)
     args = ap.parse_args()
+
+    # size the virtual CPU device pool to the requested mesh (same handling
+    # as hbm_reduction.py — the flag must be final before jax imports)
+    _, _, mesh_str = args.mode.partition("@")
+    n_devices = (math.prod(int(x) for x in mesh_str.split("x"))
+                 if mesh_str else 8)
+    stripped = re.sub(r"--xla_force_host_platform_device_count=\d+", "",
+                      os.environ.get("XLA_FLAGS", "")).strip()
+    os.environ["XLA_FLAGS"] = (
+        stripped + f" --xla_force_host_platform_device_count={n_devices}"
+    ).strip()
 
     import jax
 

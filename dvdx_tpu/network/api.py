@@ -132,14 +132,20 @@ def create_app(ledger: Ledger, listener: DepositListener, registry: Registry,
             # decides bitwise-vs-tolerance verification) belongs to the key
             # owner: require an Ed25519 signature over the canonical
             # registration message — an unauthenticated pin is exactly the
-            # downgrade/impersonation surface of ADVICE r1 / review r2
+            # downgrade/impersonation surface of ADVICE r1 / review r2. The
+            # message binds stake (a replayer cannot attach its own) and a
+            # timestamp (a captured request stops replaying after
+            # REGISTRATION_MAX_AGE_S).
             from ..verify.proof import verify_registration_signature
 
             sig = bytes.fromhex(body.get("signature", ""))
+            ts = int(body.get("timestamp", 0))
             if not verify_registration_signature(pubkey, body["address"],
-                                                 role, platform, sig):
+                                                 role, platform, stake, ts,
+                                                 sig):
                 return cors(web.json_response(
-                    {"error": "invalid registration signature"}, status=403))
+                    {"error": "invalid or stale registration signature"},
+                    status=403))
             uid = registry.register(pubkey,
                                     body["address"], role,
                                     stake,
@@ -153,7 +159,8 @@ def create_app(ledger: Ledger, listener: DepositListener, registry: Registry,
                 delta = stake - ledger.stake_of(account)
                 ledger.mint(account, delta)
                 ledger.stake(account, delta)
-        except (KeyError, ValueError) as e:
+        except (KeyError, ValueError, TypeError) as e:
+            # TypeError covers non-string JSON values (e.g. "pubkey": null)
             return cors(web.json_response({"error": str(e)}, status=400))
         return cors(web.json_response({"uid": uid}))
 

@@ -77,16 +77,20 @@ async def run_miner(args):
         from ..verify.proof import sign_registration
 
         platform = __import__("jax").default_backend()
-        reg_sig = sign_registration(kp, address, "miner", platform)
         async with aiohttp.ClientSession() as sess:
             while True:
                 try:
+                    # fresh signature each sync: the signed timestamp bounds
+                    # replay of captured registrations
+                    reg_sig, reg_ts = sign_registration(
+                        kp, address, "miner", platform, args.stake)
                     async with sess.post(
                         f"http://{args.validator_api}/register",
                         json={"pubkey": kp.public_bytes.hex(),
                               "address": address, "role": "miner",
                               "stake": args.stake,
                               "platform": platform,
+                              "timestamp": reg_ts,
                               "signature": reg_sig.hex()},
                     ) as r:
                         uid = (await r.json()).get("uid")

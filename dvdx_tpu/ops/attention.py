@@ -49,26 +49,32 @@ def _xla_attention(q, k, v, scale: float) -> jax.Array:
 # tracing by parallel.strategies for cp_exact) -------------------------------
 
 import contextlib as _contextlib
+import contextvars as _contextvars
 
-_RING_CTX: list = []
+# ContextVar, not a module-global list: a concurrent trace on another thread
+# must not see this thread's ring context — the single-device step program is
+# the PoI program identity and has to stay byte-identical regardless of what
+# other runners are being built in the same process.
+_RING_CTX: _contextvars.ContextVar[tuple] = _contextvars.ContextVar(
+    "dvdx_ring_ctx", default=())
 
 
 @_contextlib.contextmanager
 def ring_context(mesh, axis_name: str = "seq"):
     """While tracing inside this context, attention calls with impl='ring'
     execute as ring attention over `axis_name` of `mesh`."""
-    _RING_CTX.append((mesh, axis_name))
+    token = _RING_CTX.set(_RING_CTX.get() + ((mesh, axis_name),))
     try:
         yield
     finally:
-        _RING_CTX.pop()
+        _RING_CTX.reset(token)
 
 
 def ring_active() -> bool:
     """True while tracing inside a ring_context (exact-CP strategy). Layers
     whose native layout differs from (B, S, H, D) check this to decide
     whether to re-lay out for ring attention."""
-    return bool(_RING_CTX)
+    return bool(_RING_CTX.get())
 
 
 def multi_head_attention(
@@ -87,8 +93,9 @@ def multi_head_attention(
     else falls through to auto. Deterministic for fixed impl/shape.
     """
     if impl == "ring":
-        if _RING_CTX and q.shape[1] == k.shape[1]:
-            mesh, axis_name = _RING_CTX[-1]
+        ring_stack = _RING_CTX.get()
+        if ring_stack and q.shape[1] == k.shape[1]:
+            mesh, axis_name = ring_stack[-1]
             n = mesh.shape[axis_name]
             if n > 1 and q.shape[1] % n == 0:
                 from .ring_attention import ring_attention

@@ -28,37 +28,44 @@ is 1/seq — but only if the fold order lets the sharding propagate.
 from __future__ import annotations
 
 import contextlib
+import contextvars
 
 import jax.numpy as jnp
 
-_FRAMES_MAJOR: list = []
+# ContextVar, not a module-global: a concurrent trace on another thread must
+# never see this thread's fold order — the batch-major single-device step
+# program is the PoI program identity (verify/spotcheck.StepEngine) and has
+# to stay byte-identical no matter what other runners are being traced in
+# the same process.
+_FRAMES_MAJOR: contextvars.ContextVar[bool] = contextvars.ContextVar(
+    "dvdx_frames_major", default=False)
 
 
 @contextlib.contextmanager
 def frames_major():
     """While tracing inside this context, spatial folds are frames-major."""
-    _FRAMES_MAJOR.append(True)
+    token = _FRAMES_MAJOR.set(True)
     try:
         yield
     finally:
-        _FRAMES_MAJOR.pop()
+        _FRAMES_MAJOR.reset(token)
 
 
 def frames_major_active() -> bool:
-    return bool(_FRAMES_MAJOR)
+    return _FRAMES_MAJOR.get()
 
 
 def fold_frames(x):
     """(B, F, *rest) -> (B*F, *rest) batch-major, or (F*B, *rest) frames-major."""
     b, f = x.shape[0], x.shape[1]
-    if _FRAMES_MAJOR:
+    if _FRAMES_MAJOR.get():
         return jnp.swapaxes(x, 0, 1).reshape((f * b,) + x.shape[2:])
     return x.reshape((b * f,) + x.shape[2:])
 
 
 def unfold_frames(xs, b: int, f: int):
     """Inverse of fold_frames: (N, *rest) -> (B, F, *rest)."""
-    if _FRAMES_MAJOR:
+    if _FRAMES_MAJOR.get():
         return jnp.swapaxes(xs.reshape((f, b) + xs.shape[1:]), 0, 1)
     return xs.reshape((b, f) + xs.shape[1:])
 
@@ -67,6 +74,6 @@ def per_frame(t, f: int):
     """Broadcast a per-batch tensor (B, *rest) to one row per folded frame,
     matching fold_frames' row order: batch-major repeats each batch row f
     times; frames-major tiles the batch block f times."""
-    if _FRAMES_MAJOR:
+    if _FRAMES_MAJOR.get():
         return jnp.tile(t, (f,) + (1,) * (t.ndim - 1))
     return jnp.repeat(t, f, axis=0)

@@ -19,7 +19,8 @@ from __future__ import annotations
 import dataclasses
 import hashlib
 import hmac
-from typing import List, Sequence, Tuple
+import time
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -91,31 +92,54 @@ def verify_proof_signature(public_bytes: bytes, challenge: bytes, seed: int,
     return verify_signature(public_bytes, msg, signature)
 
 
+# how far a registration's signed timestamp may deviate from the verifier's
+# clock before it is rejected — bounds the replay window of a captured
+# registration request to minutes instead of forever
+REGISTRATION_MAX_AGE_S = 600
+
+
 def registration_message(pubkey: bytes, address: str, role: str,
-                         platform: str) -> bytes:
+                         platform: str, stake: int, timestamp: int) -> bytes:
     """Canonical byte string a neuron signs to register/update its registry
     entry (length-prefixed fields — no separator injection). Binding the
     platform pin to the key owner closes the downgrade where a third party
     re-registers a victim's pubkey with a bogus platform (or a miner pins a
-    foreign backend it does not run) without holding the key."""
+    foreign backend it does not run) without holding the key. `stake` is in
+    the message so a replayer cannot attach an attacker-chosen stake, and
+    `timestamp` (unix seconds, checked against REGISTRATION_MAX_AGE_S by the
+    verifier) bounds replay of captured requests."""
     def lp(b: bytes) -> bytes:
         return len(b).to_bytes(2, "big") + b
 
-    return (b"dvdx-register" + lp(pubkey) + lp(address.encode())
-            + lp(role.encode()) + lp(platform.encode()))
+    return (b"dvdx-register-v2" + lp(pubkey) + lp(address.encode())
+            + lp(role.encode()) + lp(platform.encode())
+            + int(stake).to_bytes(8, "big")
+            + int(timestamp).to_bytes(8, "big"))
 
 
 def sign_registration(keypair: Keypair, address: str, role: str,
-                      platform: str) -> bytes:
+                      platform: str, stake: int = 0,
+                      timestamp: Optional[int] = None) -> Tuple[bytes, int]:
+    """Sign a registration; returns (signature, timestamp) — the timestamp
+    must be sent alongside so the verifier reconstructs the exact message."""
+    ts = int(time.time()) if timestamp is None else int(timestamp)
     return keypair.sign(registration_message(
-        keypair.public_bytes, address, role, platform))
+        keypair.public_bytes, address, role, platform, stake, ts)), ts
 
 
 def verify_registration_signature(public_bytes: bytes, address: str, role: str,
-                                  platform: str, signature: bytes) -> bool:
+                                  platform: str, stake: int, timestamp: int,
+                                  signature: bytes, *,
+                                  now: Optional[float] = None) -> bool:
+    """Signature valid AND fresh (|now - timestamp| <= REGISTRATION_MAX_AGE_S).
+    Stale-but-valid signatures are rejected — that is the replay bound."""
+    t = time.time() if now is None else now
+    if abs(t - int(timestamp)) > REGISTRATION_MAX_AGE_S:
+        return False
     return verify_signature(
         public_bytes,
-        registration_message(public_bytes, address, role, platform), signature)
+        registration_message(public_bytes, address, role, platform,
+                             stake, timestamp), signature)
 
 
 def sample_spotcheck_indices(

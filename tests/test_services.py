@@ -141,10 +141,11 @@ def test_rest_api_lifecycle():
                 # platform pin) must be signed by the key owner
                 from dvdx_tpu.verify.proof import Keypair, sign_registration
                 mkp = Keypair.from_seed(b"reg-test")
-                sig = sign_registration(mkp, "1.2.3.4:5", "miner", "")
+                sig, ts = sign_registration(mkp, "1.2.3.4:5", "miner", "",
+                                            stake=7)
                 async with sess.post(f"{base}/register", json={
                     "pubkey": mkp.public_bytes.hex(), "address": "1.2.3.4:5",
-                    "stake": 7, "signature": sig.hex()}) as r:
+                    "stake": 7, "timestamp": ts, "signature": sig.hex()}) as r:
                     assert (await r.json())["uid"] == 0
                 # unsigned (or wrongly signed) registration is rejected
                 async with sess.post(f"{base}/register", json={
@@ -155,9 +156,28 @@ def test_rest_api_lifecycle():
                 # platform than signed -> rejected (downgrade surface)
                 async with sess.post(f"{base}/register", json={
                     "pubkey": mkp.public_bytes.hex(), "address": "1.2.3.4:5",
-                    "stake": 7, "platform": "cpu",
+                    "stake": 7, "platform": "cpu", "timestamp": ts,
                     "signature": sig.hex()}) as r:
                     assert r.status == 403
+                # signature binds the stake: a replayer cannot attach its own
+                async with sess.post(f"{base}/register", json={
+                    "pubkey": mkp.public_bytes.hex(), "address": "1.2.3.4:5",
+                    "stake": 10**9, "timestamp": ts,
+                    "signature": sig.hex()}) as r:
+                    assert r.status == 403
+                # a stale captured request stops replaying after the window
+                old_sig, old_ts = sign_registration(
+                    mkp, "1.2.3.4:5", "miner", "", stake=7,
+                    timestamp=ts - 10_000)
+                async with sess.post(f"{base}/register", json={
+                    "pubkey": mkp.public_bytes.hex(), "address": "1.2.3.4:5",
+                    "stake": 7, "timestamp": old_ts,
+                    "signature": old_sig.hex()}) as r:
+                    assert r.status == 403
+                # malformed JSON value types -> 400, not a server error
+                async with sess.post(f"{base}/register", json={
+                    "pubkey": None, "address": "1.2.3.4:5"}) as r:
+                    assert r.status == 400
                 async with sess.get(f"{base}/registry") as r:
                     snap = await r.json()
                     assert snap["0"]["stake"] == 7
