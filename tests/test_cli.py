@@ -1,0 +1,57 @@
+"""Umbrella CLI (`python -m dvdx_tpu`) smoke tests.
+
+The reference's user surface is a pile of scripts (`neurons/*.py`,
+`strategies/*.py`, economics scripts); the umbrella CLI is the single-binary
+equivalent. These tests pin: help listing, delegation to module CLIs, and
+the one-shot generate path producing a decodable video file."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(args, timeout=600):
+    env = dict(os.environ)
+    env.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+    return subprocess.run([sys.executable, "-m", "dvdx_tpu", *args],
+                          capture_output=True, text=True, cwd=REPO,
+                          timeout=timeout, env=env)
+
+
+def test_help_lists_commands():
+    r = run_cli(["--help"], timeout=60)
+    assert r.returncode == 0
+    for cmd in ("generate", "miner", "validator", "mock-round", "strategy",
+                "coordinator", "convert", "keys", "econ"):
+        assert cmd in r.stdout, cmd
+
+
+def test_unknown_command_exits_nonzero():
+    r = run_cli(["frobnicate"], timeout=60)
+    assert r.returncode == 2
+    assert "unknown command" in r.stdout
+
+
+def test_delegation_reaches_module_cli():
+    r = run_cli(["keys", "--help"], timeout=60)
+    assert r.returncode == 0
+    assert "keygen" in r.stdout
+
+
+def test_generate_writes_video(tmp_path):
+    out = tmp_path / "clip.mp4"
+    r = run_cli(["generate", "--prompt", "a red ball", "--model",
+                 "zeroscope-tiny", "--cpu", "--perturb", "--frames", "4",
+                 "--width", "32", "--height", "32", "--steps", "2",
+                 "--out", str(out)])
+    assert r.returncode in (0, None) and out.exists(), r.stderr[-2000:]
+    assert out.stat().st_size > 100
+    # decodable round-trip (mp4 via cv2, or the raw fallback container)
+    from dvdx_tpu.utils.video_io import decode_video
+
+    frames = decode_video(out.read_bytes())
+    assert frames.shape == (4, 32, 32, 3)
