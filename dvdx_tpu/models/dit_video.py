@@ -178,11 +178,11 @@ class VideoDiT(nn.Module):
 
 
 def init_dit_params(cfg: DiTVideoConfig, seed: int = 0, frames: int = 2,
-                    size: Tuple[int, int] = (16, 16)):
+                    size: Tuple[int, int] = (16, 16), **init_kwargs):
     from ..utils.init import fast_init
 
     model = VideoDiT(cfg)
     lat = jnp.zeros((1, frames, size[0], size[1], cfg.in_channels), cfg.compute_dtype)
     ts = jnp.zeros((1,), jnp.int32)
     ctx = jnp.zeros((1, 8, cfg.text_hidden_size), cfg.compute_dtype)
-    return fast_init(model, seed, lat, ts, ctx)
+    return fast_init(model, seed, lat, ts, ctx, **init_kwargs)

@@ -145,9 +145,9 @@ class CLIPTextEncoder(nn.Module):
         return x, pooled
 
 
-def init_text_params(cfg: TextEncoderConfig, seed: int = 0):
+def init_text_params(cfg: TextEncoderConfig, seed: int = 0, **init_kwargs):
     from ..utils.init import fast_init
 
     model = CLIPTextEncoder(cfg)
     ids = jnp.zeros((1, cfg.max_length), jnp.int32)
-    return fast_init(model, seed, ids)
+    return fast_init(model, seed, ids, **init_kwargs)

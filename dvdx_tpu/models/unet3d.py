@@ -243,12 +243,14 @@ class UNet3D(nn.Module):
         return unfold_frames(xs, b, f).astype(latents.dtype)
 
 
-def init_unet_params(cfg: UNet3DConfig, seed: int = 0, frames: int = 2, size: Tuple[int, int] = (16, 16)):
-    """Initialise parameters host-side (fast, deterministic across hosts)."""
+def init_unet_params(cfg: UNet3DConfig, seed: int = 0, frames: int = 2,
+                     size: Tuple[int, int] = (16, 16), **init_kwargs):
+    """Initialise parameters host-side (fast, deterministic across hosts).
+    init_kwargs forward to utils.init.fast_init (dtype / device_put)."""
     from ..utils.init import fast_init
 
     model = UNet3D(cfg)
     lat = jnp.zeros((1, frames, size[0], size[1], cfg.in_channels), cfg.compute_dtype)
     ts = jnp.zeros((1,), jnp.int32)
     ctx = jnp.zeros((1, 8, cfg.cross_attention_dim), cfg.compute_dtype)
-    return fast_init(model, seed, lat, ts, ctx)
+    return fast_init(model, seed, lat, ts, ctx, **init_kwargs)

@@ -93,31 +93,109 @@ def build_pipeline(model_name: str = "zeroscope-tiny", seed: int = 0,
     from ..utils.init import fast_init
 
     spec = get_model_spec(model_name)
-    if spec.kind == "dit":
-        unet = VideoDiT(spec.dit)
-        denoiser_params = init_dit_params(spec.dit, seed=seed)
-    else:
-        unet = UNet3D(spec.unet)
-        denoiser_params = init_unet_params(spec.unet, seed=seed)
-    text = CLIPTextEncoder(spec.text)
-    vae_dec = VAEDecoder(spec.vae)
-    params = {
-        "unet": denoiser_params,
-        "text": init_text_params(spec.text, seed=seed + 1),
-        "vae_dec": fast_init(
-            vae_dec, seed + 2,
-            jnp.zeros((1, 8, 8, spec.vae.latent_channels), jnp.float32),
-        ),
-    }
     if params_dtype is None:
         params_dtype = spec.denoiser_config.compute_dtype
-    if jnp.dtype(params_dtype) != jnp.float32:
-        params = jax.tree.map(
-            lambda x: x.astype(params_dtype)
-            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
-            params,
-        )
+    if spec.kind == "dit":
+        unet = VideoDiT(spec.dit)
+    else:
+        unet = UNet3D(spec.unet)
+    text = CLIPTextEncoder(spec.text)
+    vae_dec = VAEDecoder(spec.vae)
+
+    host = _cached_host_params(spec, model_name, seed, params_dtype)
+    # ONE batched device transfer: per-leaf device ops during init are
+    # synchronous round-trips on remote-device runtimes (minutes of
+    # cold-start for the 1.4B UNet)
+    params = jax.device_put(host)
     return Pipeline(spec=spec, unet=unet, text_encoder=text, vae_decoder=vae_dec, params=params)
+
+
+# bump when utils/init's derivation rules change (invalidates disk caches)
+_INIT_SCHEME = "sfc64-f32-v2"
+
+
+def _cached_host_params(spec, model_name: str, seed: int, params_dtype):
+    """Host param tree for (model, seed, dtype), with an optional flat-npz
+    disk cache (DVDX_PARAM_CACHE=<dir>): reloading 1.7 GB beats re-deriving
+    1.4B Gaussians (~40 s on a small host). Cache content is exactly the
+    derived tree, so determinism (and PoI weight identity) is unchanged."""
+    import os
+
+    from ..utils.init import fast_init
+
+    cache_dir = os.environ.get("DVDX_PARAM_CACHE", "")
+    cache_path = None
+    if cache_dir:
+        dt = jnp.dtype(params_dtype).name
+        cache_path = os.path.join(
+            cache_dir, f"{model_name}-s{seed}-{dt}-{_INIT_SCHEME}.npz")
+        if os.path.exists(cache_path):
+            try:
+                return _load_flat_npz(cache_path)
+            except Exception:
+                pass  # corrupt/partial cache -> rebuild below
+
+    ik = dict(dtype=params_dtype, device_put=False)
+    if spec.kind == "dit":
+        denoiser_params = init_dit_params(spec.dit, seed=seed, **ik)
+    else:
+        denoiser_params = init_unet_params(spec.unet, seed=seed, **ik)
+    host = {
+        "unet": denoiser_params,
+        "text": init_text_params(spec.text, seed=seed + 1, **ik),
+        "vae_dec": fast_init(
+            VAEDecoder(spec.vae), seed + 2,
+            jnp.zeros((1, 8, 8, spec.vae.latent_channels), jnp.float32),
+            **ik,
+        ),
+    }
+    if cache_path:
+        try:
+            _save_flat_npz(cache_path, host)
+        except Exception:
+            pass
+    return host
+
+
+def _save_flat_npz(path: str, tree):
+    """Flat npz of host leaves; ml_dtypes (bf16) stored as raw-byte views
+    with the dtype name in the key (npz itself can't describe bf16)."""
+    import os
+
+    flat = {}
+
+    def walk(t, prefix=""):
+        if isinstance(t, dict):
+            for k, v in t.items():
+                walk(v, f"{prefix}/{k}" if prefix else k)
+        else:
+            a = np.asarray(t)
+            flat[f"{prefix}|{a.dtype.name}|{','.join(map(str, a.shape))}"] = (
+                a.view(np.uint8))
+
+    walk(tree)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp.npz"
+    with open(tmp, "wb") as f:
+        np.savez(f, **flat)
+    os.replace(tmp, path)
+
+
+def _load_flat_npz(path: str):
+    import ml_dtypes  # noqa: F401  (registers bf16 et al. with numpy)
+
+    tree: dict = {}
+    with np.load(path) as z:
+        for key in z.files:
+            name, dtype_name, shape_s = key.rsplit("|", 2)
+            shape = tuple(int(x) for x in shape_s.split(",") if x)
+            arr = z[key].view(np.dtype(dtype_name)).reshape(shape)
+            node = tree
+            parts = name.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = arr
+    return tree
 
 
 def resolve_pipeline(name_or_dir: str, seed: int = 0) -> Pipeline:

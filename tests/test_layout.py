@@ -44,6 +44,24 @@ def test_fold_orders_differ_but_rows_are_permutation():
             np.testing.assert_array_equal(a[bi * 4 + fi], b[fi * 3 + bi])
 
 
+def test_param_cache_roundtrip_bitwise(tmp_path, monkeypatch):
+    """DVDX_PARAM_CACHE: first build writes the flat npz, second build loads
+    it; the loaded tree must be bitwise-identical (cache is part of the PoI
+    weight-derivation chain) including bf16 leaves npz can't natively hold."""
+    import jax
+
+    from dvdx_tpu.pipelines.text2video import build_pipeline
+
+    monkeypatch.setenv("DVDX_PARAM_CACHE", str(tmp_path))
+    p1 = build_pipeline("zeroscope-tiny", seed=3, params_dtype="bfloat16")
+    files = list(tmp_path.iterdir())
+    assert len(files) == 1 and files[0].suffix == ".npz"
+    p2 = build_pipeline("zeroscope-tiny", seed=3, params_dtype="bfloat16")
+    for a, b in zip(jax.tree.leaves(p1.params), jax.tree.leaves(p2.params)):
+        assert a.dtype == b.dtype and a.shape == b.shape
+        assert np.asarray(a).tobytes() == np.asarray(b).tobytes()
+
+
 def test_per_frame_matches_fold_row_order():
     """Row i of per_frame(t, f) must hold the batch entry of row i of
     fold_frames(x) — the UNet relies on this to pair the folded activations
