@@ -66,6 +66,10 @@ class ValidatorConfig:
     video_binding: bool = True      # bind delivered video to committed trace
     binding_max_err: float = 0.12   # codec-lossy tolerance (mean abs, [-1,1])
     binding_num_frames: int = 2     # secret-derived frames checked per video
+    # authenticity thresholds (scoring.py:13-67 static/degenerate rejection);
+    # lower for toy/untrained weights whose honest output is near-constant
+    auth_min_entropy: float = 1.0
+    auth_min_frame_diff: float = 0.01
     results_dir: str = "generated_videos"
     # request geometry defaults (config.py:89-119 PoC scale)
     width: int = 32
@@ -284,7 +288,9 @@ class Validator(Neuron):
             frames = decode_video(resp.video)
         except Exception as e:
             return fail("video_decode", error=str(e))
-        auth = verify_video_authenticity(frames)
+        auth = verify_video_authenticity(
+            frames, min_entropy=cfg.auth_min_entropy,
+            min_diff=cfg.auth_min_frame_diff)
         d["authenticity"] = auth
         if not auth["authentic"]:
             return fail("authenticity", cheat=True)
