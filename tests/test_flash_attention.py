@@ -34,3 +34,27 @@ def test_flash_bf16_close():
     ref = _xla_attention(q, k, v, 64**-0.5).astype(jnp.float32)
     out = flash_attention(q, k, v, block_q=128, block_k=128, interpret=True).astype(jnp.float32)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-2, rtol=3e-2)
+
+
+@pytest.mark.parametrize("s,kw,label", [
+    # blocked recurrence, S divides the blocks -> the bias-mask is compiled
+    # out entirely (the XL S=9216 @ 1024x1024 situation)
+    (512, dict(onepass=False, block_q=256, block_k=256), "blocked-unmasked"),
+    # blocked recurrence with a padded tail -> additive-bias mask path
+    (450, dict(onepass=False, block_q=256, block_k=256), "blocked-masked"),
+    # one-pass, exact fit vs padded tail
+    (512, dict(onepass=True, block_q=256), "onepass-unmasked"),
+    (450, dict(onepass=True, block_q=256), "onepass-masked"),
+])
+def test_mask_paths_match_xla(s, kw, label):
+    """Both kernels must agree with XLA on BOTH sides of the masked/unmasked
+    fork (the unmasked specialisation removes the pad-bias entirely; a bug
+    there would silently attend to garbage keys)."""
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.normal(size=(2, s, 2, 64)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(2, s, 2, 64)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(2, s, 2, 64)), jnp.bfloat16)
+    ref = _xla_attention(q, k, v, 64**-0.5).astype(jnp.float32)
+    out = flash_attention(q, k, v, interpret=True, **kw).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-2, rtol=3e-2, err_msg=label)
