@@ -70,6 +70,10 @@ class ValidatorConfig:
     # lower for toy/untrained weights whose honest output is near-constant
     auth_min_entropy: float = 1.0
     auth_min_frame_diff: float = 0.01
+    # liveness probe before dispatch (reference ping_uids,
+    # `template/api/get_query_axons.py:24-50`): dead miners are dropped and
+    # replaced BEFORE burning a challenge/timeout on them; 0 disables
+    ping_timeout_s: float = 3.0
     results_dir: str = "generated_videos"
     # request geometry defaults (config.py:89-119 PoC scale)
     width: int = 32
@@ -144,6 +148,38 @@ class Validator(Neuron):
             cfg_split=cfg.cfg_split,
         )
 
+    async def _ping_filter(self, uids: List[int], cfg) -> List[int]:
+        """Liveness probe (reference ping_uids analog): ping each sampled
+        miner with a short timeout, drop non-responders, and top the sample
+        back up once from the remaining pool — a dead axon costs ~3 s here
+        instead of a full generation timeout (cfg.timeout_s, 300 s)."""
+        import random as _random
+
+        async def ping(uid) -> bool:
+            info = self.registry.get(uid)
+            nonce = _random.getrandbits(32)
+            try:
+                pong = await self.transport.request(
+                    info.address, P.Ping(nonce=nonce),
+                    timeout_s=cfg.ping_timeout_s)
+                return isinstance(pong, P.Pong) and pong.nonce == nonce \
+                    and not pong.busy
+            except Exception:
+                return False
+
+        oks = await asyncio.gather(*[ping(u) for u in uids])
+        live = [u for u, ok in zip(uids, oks) if ok]
+        dead = len(uids) - len(live)
+        if dead:
+            self.metrics["ping_failures"] = (
+                self.metrics.get("ping_failures", 0) + dead)
+            pool = [u for u in self.registry.sample_miner_uids(
+                cfg.sample_size * 2, min_stake=1) if u not in uids]
+            extra = pool[:dead]
+            oks = await asyncio.gather(*[ping(u) for u in extra])
+            live += [u for u, ok in zip(extra, oks) if ok]
+        return sorted(live)
+
     async def run_round(self, request_id: str, prompt: str) -> dict:
         """One full verification round over sampled miners."""
         cfg = self.config
@@ -152,6 +188,8 @@ class Validator(Neuron):
         req = self.build_request(request_id, prompt, challenge, seed)
 
         uids = self.registry.sample_miner_uids(cfg.sample_size, min_stake=1)
+        if uids and cfg.ping_timeout_s > 0:
+            uids = await self._ping_filter(uids, cfg)
         if not uids:
             return {"request_id": request_id, "error": "no miners available"}
         ledger_error = ""

@@ -142,6 +142,32 @@ def test_wrong_seed_miner_caught_by_base_noise(tiny_pipeline_module):
     assert d["failed_check"] == "base_noise"
 
 
+def test_dead_miner_filtered_by_ping(tiny_pipeline_module):
+    """Liveness probe (reference ping_uids analog): a registered-but-dead
+    miner is dropped by the pre-dispatch ping instead of burning the full
+    generation timeout, and the round proceeds with the live one."""
+    from dvdx_tpu.verify.proof import Keypair
+
+    cfg = ValidatorConfig(sample_size=2, num_checkpoints=1, num_frames=2,
+                          width=32, height=32, num_steps=2,
+                          ping_timeout_s=0.5)
+    net = build_mock_network(n_miners=1, pipeline=tiny_pipeline_module,
+                             validator_config=cfg)
+    # register a miner whose address nothing serves (crashed after register)
+    dead = Keypair.from_seed(b"dead-miner")
+    uid = net.registry.register(dead.public_bytes, "mock://nowhere", "miner",
+                                10_000)
+    net.ledger.mint(f"miner-{uid}", 10_000)
+    net.ledger.stake(f"miner-{uid}", 10_000)
+
+    report = _run(net.run_request("req-ping", "a quiet lake"))
+    assert str(uid) not in {str(k) for k in report["miners"]}, report["miners"]
+    assert len(report["miners"]) == 1
+    (d,) = report["miners"].values()
+    assert d["checks"]["reexecution"]
+    assert net.validator.metrics.get("ping_failures", 0) >= 1
+
+
 def test_wan_emulation_records_delay(tiny_pipeline_module):
     from dvdx_tpu.network.transport import WAN_PRESETS
 
