@@ -8,8 +8,8 @@ Commands (each delegates to the module CLI, so `python -m dvdx_tpu miner
   generate     one-shot text -> video -> mp4 (the reference user's primary
                action: `InferNet/neurons/miner.py` generation loop as a CLI)
   miner        serve a miner neuron        (network.services)
-  validator    serve a validator + REST API (network.services)
-  api          REST API only               (network.services)
+  validator    serve a validator + its REST API (network.services; the API
+               runs inside the validator, as in the reference)
   mock-round   full in-process network demo round (network.mock)
   strategy     single-process distributed-strategy benchmark (parallel.runner)
   coordinator  multi-process chunk coordinator (parallel.coordinator)
@@ -23,6 +23,7 @@ The reference scatters these across `neurons/*.py`, `strategies/*.py`,
 
 from __future__ import annotations
 
+import os
 import sys
 
 
@@ -60,9 +61,14 @@ def _generate(argv):
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    # absolute cache path: a cwd-relative dir would cold-compile (minutes)
+    # whenever the CLI runs outside the repo root
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cpu_backend = args.cpu or jax.default_backend() == "cpu"
     jax.config.update("jax_compilation_cache_dir",
-                      ".jax_cache" if args.cpu or
-                      jax.default_backend() == "cpu" else ".jax_cache_tpu")
+                      os.path.join(repo,
+                                   ".jax_cache" if cpu_backend
+                                   else ".jax_cache_tpu"))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -124,7 +130,7 @@ def main(argv=None):
 
     if cmd == "generate":
         return _generate(rest)
-    if cmd in ("miner", "validator", "api"):
+    if cmd in ("miner", "validator"):
         from .network.services import main as services_main
 
         return services_main([cmd] + rest)

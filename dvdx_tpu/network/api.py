@@ -125,8 +125,13 @@ def create_app(ledger: Ledger, listener: DepositListener, registry: Registry,
         body = await request.json()
         try:
             stake = int(body.get("stake", 0))
+            if not 0 <= stake < 2**63:
+                raise ValueError(f"stake out of range: {stake}")
             pubkey = bytes.fromhex(body["pubkey"])
+            address = body["address"]
             role = body.get("role", "miner")
+            if not isinstance(address, str) or not isinstance(role, str):
+                raise ValueError("address/role must be strings")
             platform = str(body.get("platform", ""))
             # the registry entry (address routing + the platform pin that
             # decides bitwise-vs-tolerance verification) belongs to the key
@@ -140,15 +145,13 @@ def create_app(ledger: Ledger, listener: DepositListener, registry: Registry,
 
             sig = bytes.fromhex(body.get("signature", ""))
             ts = int(body.get("timestamp", 0))
-            if not verify_registration_signature(pubkey, body["address"],
+            if not verify_registration_signature(pubkey, address,
                                                  role, platform, stake, ts,
                                                  sig):
                 return cors(web.json_response(
                     {"error": "invalid or stale registration signature"},
                     status=403))
-            uid = registry.register(pubkey,
-                                    body["address"], role,
-                                    stake,
+            uid = registry.register(pubkey, address, role, stake,
                                     platform=platform)
             # dev-faucet semantics: mirror the declared stake onto the ledger
             # so record_submission's staked-miner requirement holds (a real
@@ -159,8 +162,11 @@ def create_app(ledger: Ledger, listener: DepositListener, registry: Registry,
                 delta = stake - ledger.stake_of(account)
                 ledger.mint(account, delta)
                 ledger.stake(account, delta)
-        except (KeyError, ValueError, TypeError) as e:
-            # TypeError covers non-string JSON values (e.g. "pubkey": null)
+        except (KeyError, ValueError, TypeError, OverflowError,
+                AttributeError) as e:
+            # a public endpoint must map hostile JSON to 400, not 500:
+            # TypeError/AttributeError for wrong value types, OverflowError
+            # for out-of-range ints that slip past validation
             return cors(web.json_response({"error": str(e)}, status=400))
         return cors(web.json_response({"uid": uid}))
 

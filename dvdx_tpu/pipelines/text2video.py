@@ -90,8 +90,6 @@ def build_pipeline(model_name: str = "zeroscope-tiny", seed: int = 0,
     compute dtype — bf16-compute models store bf16 params (halves HBM
     residency; inference needs no master copies). Deterministic: every host
     derives identical bf16 weights from the seed (f32 init -> one cast)."""
-    from ..utils.init import fast_init
-
     spec = get_model_spec(model_name)
     if params_dtype is None:
         params_dtype = spec.denoiser_config.compute_dtype
@@ -110,8 +108,21 @@ def build_pipeline(model_name: str = "zeroscope-tiny", seed: int = 0,
     return Pipeline(spec=spec, unet=unet, text_encoder=text, vae_decoder=vae_dec, params=params)
 
 
-# bump when utils/init's derivation rules change (invalidates disk caches)
-_INIT_SCHEME = "sfc64-f32-v2"
+def _init_scheme_tag(spec) -> str:
+    """Cache-key component that changes whenever the derivation identity
+    changes: hash of utils/init's SOURCE (any rule edit self-invalidates old
+    caches — a silent stale hit would hand miner and validator bitwise-
+    different weights and flag honest miners as cheats) + the model spec
+    repr (shape-preserving config changes included)."""
+    import hashlib
+    import inspect
+
+    from ..utils import init as _init_mod
+
+    h = hashlib.sha256()
+    h.update(inspect.getsource(_init_mod).encode())
+    h.update(repr(spec).encode())
+    return h.hexdigest()[:12]
 
 
 def _cached_host_params(spec, model_name: str, seed: int, params_dtype):
@@ -128,7 +139,8 @@ def _cached_host_params(spec, model_name: str, seed: int, params_dtype):
     if cache_dir:
         dt = jnp.dtype(params_dtype).name
         cache_path = os.path.join(
-            cache_dir, f"{model_name}-s{seed}-{dt}-{_INIT_SCHEME}.npz")
+            cache_dir,
+            f"{model_name}-s{seed}-{dt}-{_init_scheme_tag(spec)}.npz")
         if os.path.exists(cache_path):
             try:
                 return _load_flat_npz(cache_path)
@@ -174,11 +186,23 @@ def _save_flat_npz(path: str, tree):
                 a.view(np.uint8))
 
     walk(tree)
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    tmp = path + ".tmp.npz"
-    with open(tmp, "wb") as f:
-        np.savez(f, **flat)
-    os.replace(tmp, path)
+    import tempfile
+
+    d = os.path.dirname(path) or "."
+    os.makedirs(d, exist_ok=True)
+    # unique temp per writer: concurrent cold-starting processes (miner +
+    # validator on one host) must not interleave into one tmp file
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp.npz")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(f, **flat)
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
 
 
 def _load_flat_npz(path: str):

@@ -178,6 +178,18 @@ def test_rest_api_lifecycle():
                 async with sess.post(f"{base}/register", json={
                     "pubkey": None, "address": "1.2.3.4:5"}) as r:
                     assert r.status == 400
+                # hostile-but-plausible payloads stay 400 too: negative
+                # stake (to_bytes overflow) and non-string address/role
+                sig_n, ts_n = sign_registration(mkp, "1.2.3.4:5", "miner", "")
+                async with sess.post(f"{base}/register", json={
+                    "pubkey": mkp.public_bytes.hex(), "address": "1.2.3.4:5",
+                    "stake": -1, "timestamp": ts_n,
+                    "signature": sig_n.hex()}) as r:
+                    assert r.status == 400
+                async with sess.post(f"{base}/register", json={
+                    "pubkey": mkp.public_bytes.hex(), "address": 5,
+                    "timestamp": ts_n, "signature": sig_n.hex()}) as r:
+                    assert r.status == 400
                 async with sess.get(f"{base}/registry") as r:
                     snap = await r.json()
                     assert snap["0"]["stake"] == 7
