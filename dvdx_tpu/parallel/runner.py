@@ -155,6 +155,19 @@ def run_one(args) -> dict:
     latency_s = compute_s + net_gather_s + net_reduce_s
 
     peak_mb, end_mb = device_mem_mb()
+    if peak_mb == 0:
+        # runtimes without live memory_stats (CPU mesh, tunnelled devices):
+        # fall back to XLA's per-device static reservation of the SAME
+        # compiled program (args+output+temp; the bench.py fallback) so the
+        # experiment CSV's memory column is never silently zero
+        try:
+            ma = runner.fn.lower(pipe.params, ids, key).compile() \
+                .memory_analysis()
+            peak_mb = (ma.argument_size_in_bytes + ma.output_size_in_bytes
+                       + ma.temp_size_in_bytes
+                       - getattr(ma, "alias_size_in_bytes", 0)) / 2**20
+        except Exception:
+            pass
     video = np.asarray(((frames + 1.0) * 127.5).clip(0, 255).astype(jnp.uint8))
     if args.batch > 1:
         video = video[0]  # boundary metrics on the first sample
