@@ -51,6 +51,13 @@ class MinerConfig:
     min_validator_stake: int = 0      # blacklist threshold (miner.py:760-792)
     max_frames: int = 64
     max_steps: int = 100
+    # memory-dominant request dimensions must be bounded too: an uncapped
+    # height/width OOMs the chip or exceeds runtime execution limits
+    max_height: int = 1024
+    max_width: int = 1600
+    # reveal DoS bound: the validator asks for at most 2k+2 indices; a cap
+    # (after dedup) stops leaf_indices=[0]*10**6 memory amplification
+    max_reveal_indices: int = 64
     fps_default: int = 8
 
 
@@ -97,12 +104,28 @@ class Miner(Neuron):
             return self.handle_reveal(msg)
         raise ValueError(f"miner cannot handle {type(msg).__name__}")
 
+    def _caller_rejected(self, req) -> str:
+        """Gate shared by inference AND reveal: the caller must present a
+        valid Ed25519 signature under its claimed validator key (pubkeys are
+        public via the registry — without possession proof anyone can farm
+        free generations or dump committed traces), and that key must pass
+        the blacklist/stake policy."""
+        from ..verify.proof import verify_signature
+
+        if not req.signature or not verify_signature(
+                req.validator_pubkey, P.signing_bytes(req), req.signature):
+            return "unsigned or invalid request signature"
+        if self.blacklisted(req.validator_pubkey):
+            return "blacklisted caller"
+        return ""
+
     def handle_inference(self, req: P.InferenceRequest) -> P.InferenceResponse:
         self.metrics["requests"] += 1
-        if self.blacklisted(req.validator_pubkey):
+        rejected = self._caller_rejected(req)
+        if rejected:
             self.metrics["errors"] += 1
             return P.InferenceResponse(request_id=req.request_id, status="error",
-                                       error="blacklisted caller")
+                                       error=rejected)
         try:
             return self._generate_with_proof(req)
         except Exception as e:  # graceful degradation (miner.py:690-728)
@@ -114,7 +137,8 @@ class Miner(Neuron):
 
     def _generate_with_proof(self, req: P.InferenceRequest) -> P.InferenceResponse:
         cfg = self.config
-        if req.num_frames > cfg.max_frames or req.num_steps > cfg.max_steps:
+        if (req.num_frames > cfg.max_frames or req.num_steps > cfg.max_steps
+                or req.height > cfg.max_height or req.width > cfg.max_width):
             raise ValueError("request exceeds miner limits")
 
         t0 = time.time()
@@ -194,11 +218,21 @@ class Miner(Neuron):
             com = MerkleCommitment(d["timesteps"], d["zs"].view(dt),
                                    d["epss"].view(dt))
             self._proofs[request_id] = com  # warm the LRU
+            # spool reloads must respect the in-memory cap too, or reveals
+            # for up to max_spooled_proofs old requests grow the store
+            # unboundedly (each commitment is ~18 MB at standard geometry)
+            while len(self._proofs) > self.config.max_stored_proofs:
+                self._proofs.popitem(last=False)
             return com
         return None
 
     def handle_reveal(self, req: P.RevealRequest) -> P.RevealResponse:
         self.metrics["reveals"] += 1
+        rejected = self._caller_rejected(req)
+        if rejected:
+            self.metrics["errors"] += 1
+            return P.RevealResponse(request_id=req.request_id, status="error",
+                                    error=rejected)
         com = self._load_proof(req.request_id)
         if com is None:
             return P.RevealResponse(request_id=req.request_id, status="error",
@@ -206,11 +240,16 @@ class Miner(Neuron):
         if com.root != req.merkle_root:
             return P.RevealResponse(request_id=req.request_id, status="error",
                                     error="root mismatch")
+        # dedup + cap: reveal size must be bounded by policy, not the caller
+        indices = sorted({int(i) for i in req.leaf_indices})
+        if len(indices) > self.config.max_reveal_indices:
+            return P.RevealResponse(request_id=req.request_id, status="error",
+                                    error="too many indices")
         leaves = []
-        for idx in req.leaf_indices:
+        for idx in indices:
             if not 0 <= idx < len(com.leaves):
                 return P.RevealResponse(request_id=req.request_id, status="error",
                                         error=f"bad index {idx}")
-            t, zb, eb, path = com.open(int(idx))
-            leaves.append((int(idx), t, zb, eb, [(h, bool(r)) for h, r in path]))
+            t, zb, eb, path = com.open(idx)
+            leaves.append((idx, t, zb, eb, [(h, bool(r)) for h, r in path]))
         return P.RevealResponse(request_id=req.request_id, leaves=leaves)

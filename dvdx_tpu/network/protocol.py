@@ -75,6 +75,17 @@ def to_wire(msg) -> bytes:
     return frame(msgpack.packb(body, use_bin_type=True))
 
 
+def signing_bytes(msg) -> bytes:
+    """Canonical bytes a request's Ed25519 signature covers: the wire
+    encoding of the message with its own `signature` field blanked. Using
+    the wire encoder keeps the signed surface in lockstep with the message
+    schema — new fields are covered automatically. Requests must be signed
+    by the claimed validator key: the reference's synapses ride bittensor's
+    signed transport, and an unsigned request lets anyone burn miner compute
+    by copying a public validator key."""
+    return to_wire(dataclasses.replace(msg, signature=b""))
+
+
 def from_wire(data: bytes):
     payload, rest = unframe(data)
     if rest:
@@ -112,6 +123,10 @@ class InferenceRequest:
     # chip). Validator-chosen; prover and verifier must execute the same
     # program for bitwise re-execution, so it rides in the request.
     cfg_split: bool = False
+    # Ed25519 over signing_bytes(self) under validator_pubkey — proves the
+    # sender holds the claimed validator key (pubkeys are public via the
+    # registry; without this, anyone can farm free generations)
+    signature: bytes = b""
 
     def validate(self):
         self.cfg_split = bool(self.cfg_split)
@@ -154,6 +169,7 @@ class RevealRequest:
     merkle_root: bytes
     leaf_indices: List[int]
     validator_pubkey: bytes = b""
+    signature: bytes = b""        # Ed25519 over signing_bytes(self)
 
 
 @_message

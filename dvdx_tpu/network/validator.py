@@ -74,6 +74,10 @@ class ValidatorConfig:
     # `template/api/get_query_axons.py:24-50`): dead miners are dropped and
     # replaced BEFORE burning a challenge/timeout on them; 0 disables
     ping_timeout_s: float = 3.0
+    # deployment platform policy: non-empty -> miners whose registry pin
+    # differs are scored 0 ("platform_policy") instead of getting atol
+    # tolerance verification; "" keeps the permissive cross-platform mode
+    require_platform: str = ""
     results_dir: str = "generated_videos"
     # request geometry defaults (config.py:89-119 PoC scale)
     width: int = 32
@@ -140,13 +144,17 @@ class Validator(Neuron):
     def build_request(self, request_id: str, prompt: str,
                       challenge: bytes, seed: int) -> P.InferenceRequest:
         cfg = self.config
-        return P.InferenceRequest(
+        req = P.InferenceRequest(
             request_id=request_id, prompt=prompt, width=cfg.width,
             height=cfg.height, num_frames=cfg.num_frames, fps=cfg.fps,
             num_steps=cfg.num_steps, guidance_scale=cfg.guidance_scale,
             seed=seed, challenge=challenge, validator_pubkey=self.pubkey,
             cfg_split=cfg.cfg_split,
         )
+        # possession proof: miners reject requests whose signature does not
+        # verify under the claimed validator key (protocol.signing_bytes)
+        req.signature = self.keypair.sign(P.signing_bytes(req))
+        return req
 
     async def _ping_filter(self, uids: List[int], cfg) -> List[int]:
         """Liveness probe (reference ping_uids analog): ping each sampled
@@ -211,7 +219,17 @@ class Validator(Neuron):
         rewards, reward_uids = [], []
         for uid, resp in results:
             self.metrics["responses"] += 1
-            detail = await self.verify_response(uid, req, resp)
+            try:
+                detail = await self.verify_response(uid, req, resp)
+            except Exception as e:
+                # one miner's pathological response (or a validator bug it
+                # tickles) must not abort the round for every other miner;
+                # score 0 without slashing (not proof of cheating)
+                self.metrics["verify_exceptions"] = (
+                    self.metrics.get("verify_exceptions", 0) + 1)
+                detail = {"score": 0.0, "checks": {},
+                          "failed_check": "verify_exception",
+                          "error": f"{type(e).__name__}: {e}"}
             if resp.status == "ok" and resp.video and not detail.get("cheat"):
                 os.makedirs(cfg.results_dir, exist_ok=True)
                 vpath = os.path.join(cfg.results_dir,
@@ -395,32 +413,49 @@ class Validator(Neuron):
                                      merkle_root=resp.merkle_root,
                                      leaf_indices=indices,
                                      validator_pubkey=self.pubkey)
-        try:
-            reveal = await self.transport.request(info.address, reveal_req,
-                                                  timeout_s=cfg.timeout_s)
-        except Exception as e:
-            # infrastructure failure, not proof of cheating: score 0, no slash
-            return fail("reveal_transport", cheat=False, error=str(e))
+        reveal_req.signature = self.keypair.sign(P.signing_bytes(reveal_req))
+        reveal = None
+        for attempt in (0, 1):  # one retry absorbs transient transport loss
+            try:
+                reveal = await self.transport.request(info.address, reveal_req,
+                                                      timeout_s=cfg.timeout_s)
+                break
+            except Exception as e:
+                reveal_error = str(e)
+        if reveal is None:
+            # the miner already COMMITTED (signed root, echoed challenge) and
+            # was reachable moments ago; refusing the post-commit reveal is
+            # how a cheater dodges the sampled indices — selective reveal-
+            # abort must carry the slash, or detection never converts into
+            # the penalty the economics assume (p_detect -> f*stake)
+            return fail("reveal_refused", cheat=True, error=reveal_error)
         if not isinstance(reveal, P.RevealResponse) or reveal.status != "ok":
-            return fail("reveal", cheat=False,
+            return fail("reveal_refused", cheat=True,
                         error=getattr(reveal, "error", "bad reply"))
 
         import ml_dtypes
 
-        np_dtype = np.dtype(ml_dtypes.bfloat16) if resp.latent_dtype == "bfloat16" \
-            else np.dtype(resp.latent_dtype)
-        shape = tuple(resp.latent_shape)
+        try:
+            np_dtype = np.dtype(ml_dtypes.bfloat16) \
+                if resp.latent_dtype == "bfloat16" \
+                else np.dtype(resp.latent_dtype)
+            shape = tuple(int(s) for s in resp.latent_shape)
+        except Exception as e:  # miner-controlled garbage must not crash us
+            return fail("malformed_response", error=str(e))
 
         leaves: Dict[int, Tuple[int, np.ndarray, np.ndarray]] = {}
-        revealed = {int(l[0]): l for l in reveal.leaves}
+        try:
+            revealed = {int(l[0]): l for l in reveal.leaves}
+        except Exception as e:
+            return fail("malformed_response", error=str(e))
         if sorted(revealed) != indices:
             return fail("reveal_indices")
         for idx in indices:
-            _, t, zb, eb, path = revealed[idx]
             try:
+                _, t, zb, eb, path = revealed[idx]
                 z = np.frombuffer(zb, np_dtype).reshape(shape)
                 eps = np.frombuffer(eb, np_dtype).reshape(shape)
-            except Exception as e:
+            except Exception as e:  # malformed tuple arity included
                 return fail("leaf_decode", error=str(e))
             # Merkle membership (proof.py:291-304)
             lh = leaf_hash(int(t), z, eps)
@@ -442,6 +477,14 @@ class Validator(Neuron):
         pinned = info.platform
         if pinned and resp.platform and resp.platform != pinned:
             return fail("platform", claimed=resp.platform, pinned=pinned)
+        # deployment platform policy: a miner can honestly pin a DIFFERENT
+        # backend at registration (its signature only proves the pin is its
+        # own choice) and thereby select tolerance-mode verification. On
+        # homogeneous deployments set require_platform to refuse that
+        # trade: only bitwise-verifiable miners are scored.
+        if cfg.require_platform and pinned and pinned != cfg.require_platform:
+            return fail("platform_policy", cheat=False, pinned=pinned,
+                        required=cfg.require_platform)
         same_platform = (not pinned) or \
             (pinned == __import__("jax").default_backend())
         d["same_platform"] = same_platform

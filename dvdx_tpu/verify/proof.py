@@ -142,12 +142,31 @@ def verify_registration_signature(public_bytes: bytes, address: str, role: str,
                              stake, timestamp), signature)
 
 
+def sample_distinct_indices(domain: bytes, material: bytes, population: int,
+                            k: int) -> List[int]:
+    """k distinct indices in [0, population) from sha256(material || domain
+    || counter) — the one rejection-sampling loop shared by the spot-check
+    and video-binding samplers (a fix to either must hit both)."""
+    k = min(k, population)
+    picked: List[int] = []
+    counter = 0
+    while len(picked) < k:
+        digest = hashlib.sha256(material + domain +
+                                counter.to_bytes(4, "big")).digest()
+        idx = int.from_bytes(digest[:8], "big") % population
+        if idx not in picked:
+            picked.append(idx)
+        counter += 1
+    return sorted(picked)
+
+
 def sample_spotcheck_indices(
     merkle_root: bytes,
     challenge: bytes,
     num_steps: int,
     num_checks: int = 3,
-    secret: bytes = b"",
+    *,
+    secret: bytes,
 ) -> List[int]:
     """Commit-then-reveal spot-check sampler.
 
@@ -168,19 +187,14 @@ def sample_spotcheck_indices(
     (matching the hypergeometric p_detect of the economics model,
     `Economics/core/security_analysis.py:27-29`).
     """
+    if not secret:
+        raise ValueError("sample_spotcheck_indices requires the post-commit "
+                         "audit secret; commit-time-known inputs alone are "
+                         "grindable by the miner")
     if num_steps < 1:
         return []
-    num_checks = min(num_checks, num_steps)
-    picked: List[int] = []
-    counter = 0
-    while len(picked) < num_checks:
-        digest = hashlib.sha256(secret + merkle_root + challenge +
-                                counter.to_bytes(4, "big")).digest()
-        idx = int.from_bytes(digest[:8], "big") % num_steps
-        if idx not in picked:
-            picked.append(idx)
-        counter += 1
-    return sorted(picked)
+    return sample_distinct_indices(b"", secret + merkle_root + challenge,
+                                   num_steps, num_checks)
 
 
 def sample_spotcheck_pairs(

@@ -291,6 +291,10 @@ class StepEngine:
             h2, w2 = h - h % k, w - w % k
             return x[:h2, :w2].reshape(h2 // k, k, w2 // k, k, c).mean((1, 3))
 
+        # the delivered video's frame count is miner-controlled: a short
+        # video must fail the binding, not raise IndexError into the round
+        if len(video_frames) < z_next.shape[0]:
+            return False, float("inf")
         worst = 0.0
         for frame_idx in frame_indices:
             decoded = self.decode_frame(z_next[frame_idx])      # (H, W, 3)
@@ -344,20 +348,12 @@ def binding_frame_indices(audit_secret: bytes, merkle_root: bytes,
                           num_frames: int, k: int = 2) -> List[int]:
     """Video-binding frame indices, unpredictable at commit time: derived
     from the post-commit audit secret (ADVICE r1 — a fixed frame 0 lets a
-    miner substitute frames 1..F-1 of an honest video). k distinct frames."""
-    import hashlib as _hashlib
+    miner substitute frames 1..F-1 of an honest video). k distinct frames,
+    drawn by the same rejection-sampling core as the spot-check sampler."""
+    from .proof import sample_distinct_indices
 
-    k = min(k, num_frames)
-    picked: List[int] = []
-    counter = 0
-    while len(picked) < k:
-        digest = _hashlib.sha256(audit_secret + merkle_root + b"frame" +
-                                 counter.to_bytes(4, "big")).digest()
-        idx = int.from_bytes(digest[:8], "big") % num_frames
-        if idx not in picked:
-            picked.append(idx)
-        counter += 1
-    return sorted(picked)
+    return sample_distinct_indices(b"frame", audit_secret + merkle_root,
+                                   num_frames, k)
 
 
 def verify_revealed_steps(

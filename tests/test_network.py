@@ -219,19 +219,35 @@ def test_miner_spool_survives_lru_eviction(tiny_pipeline_module, tmp_path):
     miner = Miner(tiny_pipeline_module, Keypair.from_seed(b"spool-miner"),
                   reg, cfg)
 
+    def signed(msg):
+        msg.signature = vkp.sign(P.signing_bytes(msg))
+        return msg
+
     def ask(rid, seed):
-        return miner.handle(P.InferenceRequest(
+        return miner.handle(signed(P.InferenceRequest(
             request_id=rid, prompt="spool", width=32, height=32, num_frames=2,
             num_steps=2, seed=seed, challenge=b"\x01" * 32,
-            validator_pubkey=vkp.public_bytes))
+            validator_pubkey=vkp.public_bytes)))
 
     r1 = ask("sp-1", 1)
     r2 = ask("sp-2", 2)   # evicts sp-1 from the size-1 LRU
     assert r1.status == "ok" and r2.status == "ok"
-    reveal = miner.handle(P.RevealRequest(request_id="sp-1",
-                                          merkle_root=r1.merkle_root,
-                                          leaf_indices=[0, 1]))
+    # unsigned requests are refused: possession of the claimed validator key
+    # must be proven (pubkeys are public via the registry)
+    unsigned = miner.handle(P.InferenceRequest(
+        request_id="sp-x", prompt="free?", width=32, height=32, num_frames=2,
+        num_steps=2, seed=3, challenge=b"\x01" * 32,
+        validator_pubkey=vkp.public_bytes))
+    assert unsigned.status == "error" and "signature" in unsigned.error
+    reveal = miner.handle(signed(P.RevealRequest(
+        request_id="sp-1", merkle_root=r1.merkle_root, leaf_indices=[0, 1],
+        validator_pubkey=vkp.public_bytes)))
     assert reveal.status == "ok", reveal.error
+    # reveal volume is policy-bounded: an index flood is refused
+    flood = miner.handle(signed(P.RevealRequest(
+        request_id="sp-1", merkle_root=r1.merkle_root,
+        leaf_indices=list(range(1000)), validator_pubkey=vkp.public_bytes)))
+    assert flood.status == "error" and "too many" in flood.error
     # revealed bytes still verify against the original root
     from dvdx_tpu.verify.merkle import leaf_hash, verify_merkle_proof
     import ml_dtypes

@@ -64,6 +64,7 @@ def test_http_transport_roundtrip(tiny_pipeline_module):
                 request_id="h1", prompt="an http request", width=32, height=32,
                 num_frames=2, num_steps=2, seed=9, challenge=b"\x02" * 32,
                 validator_pubkey=vkp.public_bytes)
+            req.signature = vkp.sign(P.signing_bytes(req))
             resp = await t.request(f"127.0.0.1:{port}", req)
             assert resp.status == "ok"
             assert len(resp.video) > 0
