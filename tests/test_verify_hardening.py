@@ -102,6 +102,64 @@ def test_platform_claim_cannot_downgrade_bitwise(tiny_pipeline_module):
     assert honest.get("reexec_bitwise") is True
 
 
+def test_require_platform_refuses_foreign_pin(tiny_pipeline_module):
+    """Homogeneous-deployment policy: a miner that honestly self-pinned a
+    DIFFERENT backend (selecting tolerance-mode verification) is scored 0
+    under require_platform instead of being verified with atol slack."""
+    import jax
+
+    here = jax.default_backend()
+    cfg = ValidatorConfig(sample_size=2, num_checkpoints=1, num_frames=2,
+                          width=32, height=32, num_steps=2,
+                          require_platform=here)
+    net = build_mock_network(n_miners=2, pipeline=tiny_pipeline_module,
+                             validator_config=cfg)
+    # miner 0 re-pins itself to a foreign backend (its own signed choice)
+    # and consistently claims it in responses (no pin contradiction)
+    net.registry.neurons[0].platform = "gpu"
+
+    class ConsistentForeign(type(net.miners[0])):
+        def _generate_with_proof(self, req):
+            resp = super()._generate_with_proof(req)
+            resp.platform = "gpu"
+            return resp
+
+    foreign_miner = ConsistentForeign(tiny_pipeline_module,
+                                      net.miners[0].keypair, net.registry)
+    net.transport.serve("mock://miner-0", foreign_miner.handle)
+
+    report = _run(net.run_request("req-reqplat", "a copper kettle"))
+    foreign = report["miners"]["0"]
+    native = report["miners"]["1"]
+    assert foreign["failed_check"] == "platform_policy"
+    assert foreign["score"] == 0.0
+    assert not foreign.get("cheat", False)  # policy refusal, not fraud
+    assert native.get("reexec_bitwise") is True
+
+
+def test_oversized_geometry_rejected_by_miner(tiny_pipeline_module):
+    """Height/width are memory-dominant and must be bounded like
+    frames/steps: an oversized request degrades gracefully to an error
+    response instead of OOMing the chip."""
+    from dvdx_tpu.network.miner import Miner, MinerConfig
+    from dvdx_tpu.network.base import Registry
+    from dvdx_tpu.network import protocol as P
+    from dvdx_tpu.verify.proof import Keypair
+
+    reg = Registry()
+    vkp = Keypair.from_seed(b"geom-validator")
+    reg.register(vkp.public_bytes, "v", role="validator", stake=100)
+    miner = Miner(tiny_pipeline_module, Keypair.from_seed(b"geom-miner"),
+                  reg, MinerConfig(max_height=64, max_width=64))
+    req = P.InferenceRequest(request_id="g1", prompt="huge", width=4096,
+                             height=4096, num_frames=2, num_steps=2, seed=1,
+                             challenge=b"\x03" * 32,
+                             validator_pubkey=vkp.public_bytes)
+    req.signature = vkp.sign(P.signing_bytes(req))
+    resp = miner.handle(req)
+    assert resp.status == "error" and "limits" in resp.error
+
+
 def test_unpinned_miner_defaults_to_bitwise(tiny_pipeline_module):
     """A miner with no pinned platform gets the secure default: its claimed
     tag is ignored and re-execution is demanded bitwise."""
