@@ -53,10 +53,13 @@ def d_min_grid(params: EconParams = DEFAULT, *, margin: float = 1.1,
     }
 
 
-def summarize(out: Dict[str, np.ndarray]) -> Dict[str, float]:
+def summarize(out: Dict[str, np.ndarray]):
+    """Summary dict; no-secure-cell sentinels are None (not inf) so the
+    pipeline's summary.json stays strict-JSON-parseable — json.dump emits
+    the non-standard token `Infinity` for float('inf')."""
     finite = np.isfinite(out["d_min_usd"])
     return {
         "secure_fraction": float(out["secure"].mean()),
-        "min_d_usd": float(out["d_min_usd"][finite].min()) if finite.any() else float("inf"),
-        "median_d_usd": float(np.median(out["d_min_usd"][finite])) if finite.any() else float("inf"),
+        "min_d_usd": float(out["d_min_usd"][finite].min()) if finite.any() else None,
+        "median_d_usd": float(np.median(out["d_min_usd"][finite])) if finite.any() else None,
     }

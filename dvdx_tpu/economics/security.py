@@ -109,22 +109,32 @@ def simulate_ev(
 
     # Monte-Carlo cheat EV over (G, A, F, M, paths)
     # vectorised epoch loop; memory bounded by chunking over gamma
-    slash = np.asarray(f)[None, :, None, None] * stake_tao
+    f_b = np.asarray(f)[None, :, None, None]
     comp_cost = (T - ms)[None, None, :, None] * cost_step
     ev_cheat = np.empty((G, A, F, len(ms)))
     for gi, g in enumerate(gamma):
         trust = np.ones((A, F, len(ms), n_paths))
+        # stake depletes as it is slashed (reference `stake += reward -
+        # pd*f*stake`, security_analysis.py:55) — a flat f*stake_0 per catch
+        # would let cumulative slashes exceed the stake and overstate the
+        # deterrent, inflating the secure region
+        stake_path = np.full_like(trust, stake_tao)
         value = np.zeros_like(trust)
         for e in range(epochs + 1):
             caught = rng.random(trust.shape) < p[:, None, :, None]
             emit = r_emit * np.minimum(trust, 1.0)
+            slash_now = f_b * stake_path
             # caught: job payment withheld (scored 0), stake slashed;
             # undetected: paid like an honest miner, saved m steps of compute
-            epoch_val = np.where(caught, emit - comp_cost - slash,
+            epoch_val = np.where(caught, emit - comp_cost - slash_now,
                                  p_job + emit - comp_cost)
             w = tail if e == epochs else beta**e
             value += w * epoch_val
-            trust = np.where(caught, trust * g,
+            stake_path = np.where(caught, stake_path - slash_now, stake_path)
+            # reference decay: a caught miner KEEPS (1-gamma) of its trust
+            # (`W[:,caught] *= (1-gamma)`, security_analysis.py:57) — gamma
+            # is the fraction REMOVED, so gamma=0.8 is strong deterrence
+            trust = np.where(caught, trust * (1.0 - g),
                              np.minimum(1.0, trust + params.honest_drift))
         ev_cheat[gi] = value.mean(axis=-1)
 

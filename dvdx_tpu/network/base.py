@@ -119,13 +119,15 @@ class Registry:
     def update_trust(self, uid: int, caught_cheating: bool, decay: float = 0.8,
                      honest_drift: float = 0.01):
         """Trust dynamics (reference validator.py:1222-1245 / economics gamma):
-        caught -> trust *= decay; honest -> drift back toward 1."""
+        caught -> trust *= (1 - decay) — gamma is the fraction REMOVED, so
+        the reference's gamma=0.8 leaves 20% of trust (`self.trust_weights
+        [hotkey] *= (1 - self.config.trust_decay)`); honest -> drift toward 1."""
         with self._lock:
             n = self.neurons.get(uid)
             if n is None:
                 return
             if caught_cheating:
-                n.trust *= decay
+                n.trust *= (1.0 - decay)
             else:
                 n.trust = min(1.0, n.trust + honest_drift)
 

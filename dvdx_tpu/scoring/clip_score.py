@@ -1,8 +1,10 @@
 """CLIP prompt-fidelity scorer.
 
-Reference: `CLIPScorer.compute_quality_score` — mean frame-wise cosine between
-the CLIP text embedding and each frame's CLIP image embedding, mapped to [0,1]
-(`/root/reference/InferNet/template/validator/scoring.py:69-151`; paper §3.3.3).
+Reference: `CLIPScorer.compute_quality_score` — RAW mean frame-wise cosine
+between the CLIP text embedding and each frame's CLIP image embedding
+(`/root/reference/InferNet/template/validator/scoring.py:69-151`; paper
+§3.3.3). Here clamped below at 0 (anti-aligned earns nothing) so the MD-VQS
+mix stays bounded; positive cosines are reference-identical.
 
 TPU-native: both towers are jitted Flax modules; all frames are scored in one
 batched forward (the reference loops frames through PIL + processor on CPU).
@@ -91,7 +93,13 @@ class CLIPScorer:
                 img_emb = img_emb / (jnp.linalg.norm(img_emb, axis=-1, keepdims=True) + 1e-8)
                 txt_emb = txt_emb / (jnp.linalg.norm(txt_emb, axis=-1, keepdims=True) + 1e-8)
                 cos = jnp.sum(img_emb * txt_emb, axis=-1)              # (F,)
-                return jnp.mean((cos + 1.0) / 2.0), cos
+                # reference PF is the RAW mean cosine (scoring.py:260-262);
+                # real-CLIP matched/unmatched pairs sit around 0.32/0.15, so
+                # an affine (cos+1)/2 map would compress that gap into
+                # [0.57, 0.68] and hand prompt-ignoring videos ~60% of the
+                # fidelity term. Clamp at 0 only (anti-aligned = no credit)
+                # to keep the MD-VQS mix bounded in [0,1].
+                return jnp.mean(jnp.maximum(cos, 0.0)), cos
 
             self._jitted = jax.jit(score)
         return self._jitted

@@ -4,9 +4,11 @@ Reference semantics (`/root/reference/InferNet/template/validator/scoring.py`):
 * authenticity (`:13-67`): reject static/degenerate videos via frame-entropy
   and frame-difference statistics (std or mean diff < 0.01 -> fake);
 * MD-VQS (`:154-347`): score = a*prompt_fidelity + b*video_quality +
-  g*temporal_consistency with a/b/g = 0.4/0.3/0.3, where PF is the CLIP score,
-  VQ = 1 - mean LPIPS between consecutive frames, TC maps mean optical-flow
-  magnitude to [0,1].
+  g*temporal_consistency with a/b/g = 0.4/0.3/0.3, where PF is the raw mean
+  CLIP cosine, VQ = 1 - mean LPIPS between consecutive frames, TC is the RAW
+  mean optical-flow magnitude (unbounded in the reference; here mapped
+  through a motion-monotone saturating exp so the mix stays in [0,1] and
+  jitter-maximising gaming has an asymptote — see MDVQS.score).
 
 TPU-native substitutions (documented, not hidden):
 * LPIPS(alex): the REAL metric loads via utils.convert.load_lpips
@@ -40,8 +42,8 @@ from .clip_score import CLIPScorer
 # --- authenticity -----------------------------------------------------------
 
 
-def frame_entropy(frames_uint8: np.ndarray) -> float:
-    """Mean per-frame grayscale histogram entropy (bits)."""
+def frame_entropies(frames_uint8: np.ndarray) -> np.ndarray:
+    """Per-frame grayscale histogram entropy (bits)."""
     f = frames_uint8.mean(axis=-1).astype(np.uint8)
     ent = []
     for img in f:
@@ -49,28 +51,56 @@ def frame_entropy(frames_uint8: np.ndarray) -> float:
         p = hist / hist.sum()
         p = p[p > 0]
         ent.append(float(-(p * np.log2(p)).sum()))
-    return float(np.mean(ent))
+    return np.asarray(ent)
+
+
+def frame_entropy(frames_uint8: np.ndarray) -> float:
+    """Mean per-frame grayscale histogram entropy (bits)."""
+    return float(frame_entropies(frames_uint8).mean())
 
 
 def verify_video_authenticity(frames_uint8: np.ndarray,
                               min_entropy: float = 1.0,
                               min_diff: float = 0.01) -> dict:
-    """Static/degenerate detection (reference scoring.py:13-67). Returns
-    {authentic, entropy, mean_frame_diff, std_frame_diff}."""
-    x = frames_uint8.astype(np.float32) / 255.0
+    """Static/degenerate detection, reference-faithful semantics
+    (scoring.py:13-67): frame diffs are on the 0-255 uint8 scale (the
+    reference uses cv2.absdiff of uint8 frames, so its 0.01 threshold is a
+    hundredth of a gray level — a [0,1]-scale interpretation would be 255x
+    stricter and zero honest low-motion videos), a video must clear BOTH
+    the mean and std thresholds for diffs AND entropies (constant-motion
+    A/B/A/B fakes have diff_std == 0), and <2 frames is inauthentic (the
+    reference rejects when no consecutive pair exists). min_entropy
+    defaults stricter than the reference's 0.01 (a real video's frame
+    entropy is several bits); the entropy-VARIATION threshold matches the
+    reference's fixed 0.01. Returns {authentic, entropy, entropy_std,
+    mean_frame_diff, std_frame_diff}."""
+    x = frames_uint8.astype(np.float32)  # 0-255 scale
+    ents = frame_entropies(frames_uint8)
     if x.shape[0] < 2:
         diffs = np.zeros((1,), np.float32)
+        authentic = False
     else:
         diffs = np.abs(np.diff(x, axis=0)).reshape(x.shape[0] - 1, -1).mean(axis=1)
-    ent = frame_entropy(frames_uint8)
-    authentic = bool(
-        ent >= min_entropy
-        and (x.shape[0] < 2 or (diffs.mean() >= min_diff or diffs.std() >= min_diff / 10))
-        and float(x.std()) >= min_diff
-    )
+        # entropy-variation axis: the reference's 0.01 floor is calibrated
+        # for cv2-decoded mp4 frames where codec noise inflates per-frame
+        # entropy variation; on clean raw frames it rejects honest stable-
+        # scene videos (a moving-gradient testsrc measures ~0.009). 1e-3
+        # keeps the axis (exact-loop fakes have std ~1e-7) without the
+        # false rejections; capped by min_entropy so min_entropy=0 disables
+        # the entropy axis entirely (toy checkpoints, ValidatorConfig knobs).
+        # The std axes need >= 2 diffs to be meaningful — a 2-frame video
+        # has exactly one diff (std identically 0) and must not auto-fail.
+        have_spread = diffs.size >= 2
+        authentic = bool(
+            ents.mean() >= min_entropy
+            and (not have_spread or ents.std() >= min(1e-3, min_entropy))
+            and diffs.mean() >= min_diff
+            and (not have_spread or diffs.std() >= min_diff)
+        )
     return {
         "authentic": authentic,
-        "entropy": ent,
+        "entropy": float(ents.mean()),
+        "entropy_std": float(ents.std()),
         "mean_frame_diff": float(diffs.mean()),
         "std_frame_diff": float(diffs.std()),
     }
@@ -160,7 +190,7 @@ class MDVQS:
     alpha: float = 0.4
     beta: float = 0.3
     gamma: float = 0.3
-    flow_scale: float = 8.0   # flow magnitude (px) at which TC hits 0.5
+    flow_scale: float = 8.0   # flow (px) where TC reaches 1-1/e (~0.63)
     # real LPIPS metric (scoring.lpips.LPIPS, loaded via
     # utils.convert.load_lpips) — None falls back to the deterministic
     # random-projection proxy (no weights needed)
@@ -170,18 +200,24 @@ class MDVQS:
         auth = verify_video_authenticity(frames_uint8)
         pf = self.clip_scorer.score_video(frames_uint8, prompt)
 
-        frames = jnp.asarray(frames_uint8, jnp.float32) / 127.5 - 1.0
+        # one host-side [-1,1] conversion shared by both perceptual paths
+        frames_f32 = frames_uint8.astype(np.float32) / 127.5 - 1.0
         if self.lpips_metric is not None:
-            lp = self.lpips_metric.consecutive_mean(
-                np.asarray(frames, np.float32))
+            lp = self.lpips_metric.consecutive_mean(frames_f32)
             metric = "lpips-alex"
         else:
-            lp = float(perceptual_distance_pairs(frames)) if frames_uint8.shape[0] > 1 else 0.0
+            lp = float(perceptual_distance_pairs(jnp.asarray(frames_f32))) \
+                if frames_uint8.shape[0] > 1 else 0.0
             metric = "random-projection-proxy"
         vq = float(np.clip(1.0 - lp, 0.0, 1.0))
 
         flow = mean_flow_magnitude(frames_uint8)
-        tc = float(1.0 / (1.0 + flow / self.flow_scale))
+        # reference TC is the raw mean |flow| — MORE motion scores HIGHER
+        # (scoring.py:311-343) but unbounded, which both breaks the [0,1]
+        # score mix and pays a miner to maximise jitter. Keep the reference's
+        # monotonicity under a saturating map: 0 motion -> 0,
+        # flow_scale px -> ~0.63, unbounded thrash -> asymptote 1.
+        tc = float(1.0 - np.exp(-flow / self.flow_scale))
 
         total = self.alpha * pf + self.beta * vq + self.gamma * tc
         if not auth["authentic"]:

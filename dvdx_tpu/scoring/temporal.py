@@ -22,11 +22,13 @@ except Exception:  # pragma: no cover
 
 
 def boundary_pairs(chunk_bounds: Sequence[Tuple[int, int]]) -> List[Tuple[int, int]]:
-    """Chunk core ranges [(s,e), ...] -> boundary frame index pairs (e-1, e)."""
+    """Chunk core ranges [(s,e), ...] -> boundary frame index pairs
+    (last frame of chunk i, first frame of chunk i+1). Using s1 rather than
+    assuming e0 == s1 keeps the pair correct for non-contiguous plans."""
     pairs = []
-    for (s0, e0), (s1, e1) in zip(chunk_bounds[:-1], chunk_bounds[1:]):
-        if e0 - 1 >= 0 and e0 < e1:
-            pairs.append((e0 - 1, e0))
+    for (_s0, e0), (s1, e1) in zip(chunk_bounds[:-1], chunk_bounds[1:]):
+        if e0 - 1 >= 0 and s1 < e1:
+            pairs.append((e0 - 1, s1))
     return pairs
 
 

@@ -52,7 +52,9 @@ def test_reference_operating_point_is_secure(sweep):
 
 def test_zero_audit_zero_slash_favours_cheating(sweep):
     """With no slashing and minimal audits, skipping compute must pay."""
-    gi = int(np.argmin(np.abs(sweep["gamma"] - 1.0)))  # no trust decay
+    # gamma is the fraction of trust REMOVED on catch (reference
+    # `W[:,caught] *= (1-gamma)`): no decay is gamma = 0
+    gi = int(np.argmin(np.abs(sweep["gamma"] - 0.0)))
     ai = 0   # lowest audit rate in grid (0.1)
     fi = 0   # zero slash
     assert sweep["delta"][gi, ai, fi] > 0
