@@ -18,12 +18,22 @@ Verify overhead: k=3 exact spot-step re-executions in ONE device launch
 reference's <10% claim is k/T at T>=30 (`/root/reference/README.md:18`);
 the flagship 50-step row is the comparable number.
 
+Crash-proofing (VERDICT r2 item 1): each workload runs in its OWN child
+process (`--phase standard|xl`) writing results incrementally (atomic
+rename) into a shared state file; the parent merges whatever landed and
+ALWAYS prints the single JSON line. A child OOM/timeout/tunnel kill can
+therefore lose at most the rows of its own phase. The standard phase also
+never duplicates HBM residency: it reuses the pipeline's device params
+(round-2 failure: a second device_put of the 1.75B-param tree).
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 
 import json
 import os
+import subprocess
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -37,11 +47,40 @@ NUM_STEPS = 25
 
 XL_FRAMES, XL_HEIGHT, XL_WIDTH, XL_STEPS = 24, 576, 1024, 50
 
+STANDARD_TIMEOUT_S = 2400   # compile variance: 200-990 s observed run-to-run
+XL_TIMEOUT_S = 2400
+
+
+def _update_state(path: str, updates: dict) -> None:
+    """Merge `updates` into the JSON state file atomically (tmp + rename)."""
+    state = {}
+    try:
+        with open(path) as f:
+            state = json.load(f)
+    except Exception:
+        pass
+    state.update(updates)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".")
+    with os.fdopen(fd, "w") as f:
+        json.dump(state, f)
+    os.replace(tmp, path)
+
+
+def _setup_jax():
+    os.environ.setdefault("DVDX_PARAM_CACHE",
+                          os.path.expanduser("~/.cache/dvdx_tpu/params"))
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return jax
+
 
 def _mem_report(dev, compiled_fns):
     """Peak-HBM report: live memory_stats when the runtime exposes them,
     else XLA's compiled memory analysis (argument+output+temp per program —
-    the static reservation; VERDICT r1 item 3/missing 6)."""
+    the static reservation)."""
     try:
         stats = dev.memory_stats() or {}
         peak = stats.get("peak_bytes_in_use", 0)
@@ -66,133 +105,64 @@ def _mem_report(dev, compiled_fns):
             "hbm_source": "compiled_memory_analysis"}
 
 
-def main():
-    # host-param disk cache: reloading the derived 1.75B-param tree beats
-    # re-deriving it (~40 s vs ~80 s cold start; pipelines/text2video.py)
-    os.environ.setdefault("DVDX_PARAM_CACHE",
-                          os.path.expanduser("~/.cache/dvdx_tpu/params"))
-    import jax
-
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
+def _force(x) -> float:
+    """Completion barrier that actually works on the axon remote runtime:
+    block_until_ready can return before execution finishes there (CLAUDE.md),
+    so timing must end with a real host fetch — a device-side reduce to a
+    scalar + transfer. Cost: one tiny kernel + a 4-byte fetch."""
     import jax.numpy as jnp
-    import numpy as np
+
+    return float(jnp.sum(x))
+
+
+def phase_standard(state_path: str) -> None:
+    jax = _setup_jax()
+    import jax.numpy as jnp
 
     from dvdx_tpu.ops import rng as rng_ops
-    from dvdx_tpu.pipelines.text2video import (build_pipeline,
-                                               build_segmented_runner)
+    from dvdx_tpu.pipelines.text2video import build_pipeline
     from dvdx_tpu.verify.spotcheck import StepEngine
 
     dev = jax.devices()[0]
     t0 = time.time()
     pipe = build_pipeline("zeroscope-v2-576w", seed=0)
-    init_s = time.time() - t0
+    params = pipe.params          # the ONE device copy — never re-device_put
+    jax.block_until_ready(params)
+    _update_state(state_path, {"init_s": round(time.time() - t0, 1),
+                               "device": str(dev)})
 
     fn, sched = pipe.generator(NUM_FRAMES, HEIGHT, WIDTH, NUM_STEPS,
-                               guidance_scale=7.5, context_weight=0.0, record=False)
+                               guidance_scale=7.5, context_weight=0.0,
+                               record=False)
     ids = jnp.asarray(pipe.tokenize(["", "a red panda climbing a tree"]))
     key = rng_ops.base_key(7)
 
-    # move params to device once
+    # pre-flight: explicit compile first, so a lowering/compile failure is
+    # reported distinctly and the static HBM reservation is known before any
+    # full-length device execution is attempted
     t0 = time.time()
-    params = jax.device_put(pipe.params, dev)
-    jax.block_until_ready(params)
-    put_s = time.time() - t0
+    compiled = fn.lower(params, ids, key).compile()
+    compile_s = time.time() - t0
+    mem = _mem_report(dev, [compiled])
+    _update_state(state_path, {"compile_s": round(compile_s, 1), **mem})
 
     t0 = time.time()
-    frames = fn(params, ids, key)
-    jax.block_until_ready(frames)
-    compile_and_first_s = time.time() - t0
+    frames = compiled(params, ids, key)
+    _force(frames)
+    first_s = time.time() - t0
+    _update_state(state_path, {
+        "compile_plus_first_s": round(compile_s + first_s, 1)})
 
     times = []
     for _ in range(2):
         t0 = time.time()
-        frames = fn(params, ids, key)
-        jax.block_until_ready(frames)
+        frames = compiled(params, ids, key)
+        _force(frames)
         times.append(time.time() - t0)
     sec_per_video = min(times)
+    del frames
 
-    compiled_fns = []
-    try:
-        compiled_fns.append(fn.lower(params, ids, key).compile())
-    except Exception:
-        pass
-    mem = _mem_report(dev, compiled_fns)
-
-    # --- Proof-of-Inference verify overhead: ONE launch of k=3 exact step
-    # re-executions + the always-checked T-1 fold (validator budget)
-    engine = StepEngine(pipe)
-    verify = {}
-    try:
-        uncond, cond = engine.encode_fn()(params, ids)
-        k = 3
-        multi, _ = engine.multi_step_fn(NUM_STEPS, 7.5, k)
-        z = engine.noise_fn(NUM_FRAMES, HEIGHT // 8, WIDTH // 8, 4)(key)
-        zs = jnp.stack([z.astype(jnp.bfloat16)] * k)   # (k, F, h, w, C)
-        idxs = jnp.asarray([5, 15, NUM_STEPS - 1], jnp.int32)
-        jax.block_until_ready(multi(params, zs, idxs, cond, uncond))  # compile
-        t0 = time.time()
-        jax.block_until_ready(multi(params, zs, idxs, cond, uncond))
-        reexec_s = time.time() - t0
-        verify = {
-            "spotcheck_reexec_s": round(reexec_s, 3),
-            "verify_overhead_pct_25step": round(100 * reexec_s / sec_per_video, 2),
-            "verify_steps_fraction_25step": round(k / NUM_STEPS, 3),
-        }
-    except Exception as e:
-        verify = {"verify_error": str(e)[:160]}
-
-    # --- XL headline row (segmented, cfg_split) -----------------------------
-    xl = {}
-    try:
-        run = build_segmented_runner(pipe, num_frames=XL_FRAMES,
-                                     height=XL_HEIGHT, width=XL_WIDTH,
-                                     num_steps=XL_STEPS, guidance_scale=7.5,
-                                     segment_steps=10, cfg_split=True)
-        xl_ids = jnp.asarray(pipe.tokenize(["", "a sailboat in a storm"]))
-        t0 = time.time()
-        xl_frames = run(params, xl_ids, key)
-        jax.block_until_ready(xl_frames)
-        xl_compile_s = time.time() - t0
-        t0 = time.time()
-        xl_frames = run(params, xl_ids, key)
-        jax.block_until_ready(xl_frames)
-        xl_sec = time.time() - t0
-        xl = {
-            "xl_sec_per_video": round(xl_sec, 2),
-            "xl_vs_baseline": round(A100_XL_BASELINE_SEC / xl_sec, 3),
-            "xl_sec_per_step": round(xl_sec / XL_STEPS, 3),
-            "xl_compile_plus_first_s": round(xl_compile_s, 1),
-        }
-    except Exception as e:
-        xl = {"xl_error": str(e)[:160]}
-    try:
-        # flagship verify overhead: one launch, k=3 XL steps, cfg_split
-        # program (the step-program identity the XL request pins). Separate
-        # try: a verify-side failure must not discard the measured XL rows.
-        if "xl_sec_per_video" not in xl:
-            raise RuntimeError("xl generation did not complete")
-        xl_sec = xl["xl_sec_per_video"]
-        ue, ce = engine.encode_fn()(params, xl_ids)
-        zxl = engine.noise_fn(XL_FRAMES, XL_HEIGHT // 8, XL_WIDTH // 8, 4)(key)
-        zsx = jnp.stack([zxl.astype(jnp.bfloat16)] * 3)
-        idxs = jnp.asarray([11, 29, XL_STEPS - 1], jnp.int32)
-        multi_xl, _ = engine.multi_step_fn(XL_STEPS, 7.5, 3, cfg_split=True)
-        jax.block_until_ready(multi_xl(params, zsx, idxs, ce, ue))
-        t0 = time.time()
-        jax.block_until_ready(multi_xl(params, zsx, idxs, ce, ue))
-        xl_reexec_s = time.time() - t0
-        xl.update({
-            "xl_spotcheck_reexec_s": round(xl_reexec_s, 3),
-            "verify_overhead_pct": round(100 * xl_reexec_s / xl_sec, 2),
-            "verify_steps_fraction": round(3 / XL_STEPS, 3),
-        })
-    except Exception as e:
-        xl["xl_verify_error"] = str(e)[:160]
-
-    result = {
+    _update_state(state_path, {
         "metric": "sec/video (zeroscope-576w 16f@576x320, 25 steps, 1 chip)",
         "value": round(sec_per_video, 3),
         "unit": "s",
@@ -201,18 +171,135 @@ def main():
         # data-parallel scale-out estimate: generation is single-chip-resident
         # (no cross-request communication), so v5e-8 throughput is 8 replicas
         "v5e8_videos_per_min_dp_extrapolated": round(8 * 60 / sec_per_video, 1),
-        "compile_plus_first_s": round(compile_and_first_s, 1),
-        "init_s": round(init_s, 1),
-        "weights_transfer_s": round(put_s, 1),
         "baseline_sec": round(A100_BASELINE_SEC, 2),
+    })
+
+    # --- Proof-of-Inference verify overhead: ONE launch of k=3 exact step
+    # re-executions (validator budget at the standard geometry)
+    engine = StepEngine(pipe)
+    uncond, cond = engine.encode_fn()(params, ids)
+    k = 3
+    multi, _ = engine.multi_step_fn(NUM_STEPS, 7.5, k)
+    z = engine.noise_fn(NUM_FRAMES, HEIGHT // 8, WIDTH // 8, 4)(key)
+    zs = jnp.stack([z.astype(jnp.bfloat16)] * k)   # (k, F, h, w, C)
+    idxs = jnp.asarray([5, 15, NUM_STEPS - 1], jnp.int32)
+    _force(multi(params, zs, idxs, cond, uncond)[0])  # compile + warm
+    t0 = time.time()
+    _force(multi(params, zs, idxs, cond, uncond)[0])
+    reexec_s = time.time() - t0
+    _update_state(state_path, {
+        "spotcheck_reexec_s": round(reexec_s, 3),
+        "verify_overhead_pct_25step": round(100 * reexec_s / sec_per_video, 2),
+        "verify_steps_fraction_25step": round(k / NUM_STEPS, 3),
+    })
+
+
+def phase_xl(state_path: str) -> None:
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from dvdx_tpu.ops import rng as rng_ops
+    from dvdx_tpu.pipelines.text2video import (build_pipeline,
+                                               build_segmented_runner)
+    from dvdx_tpu.verify.spotcheck import StepEngine
+
+    t0 = time.time()
+    pipe = build_pipeline("zeroscope-v2-576w", seed=0)
+    params = pipe.params
+    jax.block_until_ready(params)
+
+    run = build_segmented_runner(pipe, num_frames=XL_FRAMES,
+                                 height=XL_HEIGHT, width=XL_WIDTH,
+                                 num_steps=XL_STEPS, guidance_scale=7.5,
+                                 segment_steps=10, cfg_split=True)
+    xl_ids = jnp.asarray(pipe.tokenize(["", "a sailboat in a storm"]))
+    key = rng_ops.base_key(7)
+    t0 = time.time()
+    xl_frames = run(params, xl_ids, key)
+    _force(xl_frames)
+    xl_compile_s = time.time() - t0
+    _update_state(state_path, {"xl_compile_plus_first_s": round(xl_compile_s, 1)})
+
+    t0 = time.time()
+    xl_frames = run(params, xl_ids, key)
+    _force(xl_frames)
+    xl_sec = time.time() - t0
+    del xl_frames
+    _update_state(state_path, {
+        "xl_sec_per_video": round(xl_sec, 2),
+        "xl_vs_baseline": round(A100_XL_BASELINE_SEC / xl_sec, 3),
+        "xl_sec_per_step": round(xl_sec / XL_STEPS, 3),
         "xl_baseline_sec": round(A100_XL_BASELINE_SEC, 1),
-        "device": str(dev),
-        **mem,
-        **verify,
-        **xl,
-    }
-    print(json.dumps(result))
+    })
+
+    # flagship verify overhead: one launch, k=3 XL steps, cfg_split program
+    # (the step-program identity the XL request pins)
+    engine = StepEngine(pipe)
+    ue, ce = engine.encode_fn()(params, xl_ids)
+    zxl = engine.noise_fn(XL_FRAMES, XL_HEIGHT // 8, XL_WIDTH // 8, 4)(key)
+    zsx = jnp.stack([zxl.astype(jnp.bfloat16)] * 3)
+    idxs = jnp.asarray([11, 29, XL_STEPS - 1], jnp.int32)
+    multi_xl, _ = engine.multi_step_fn(XL_STEPS, 7.5, 3, cfg_split=True)
+    _force(multi_xl(params, zsx, idxs, ce, ue)[0])  # compile + warm
+    t0 = time.time()
+    _force(multi_xl(params, zsx, idxs, ce, ue)[0])
+    xl_reexec_s = time.time() - t0
+    _update_state(state_path, {
+        "xl_spotcheck_reexec_s": round(xl_reexec_s, 3),
+        "verify_overhead_pct": round(100 * xl_reexec_s / xl_sec, 2),
+        "verify_steps_fraction": round(3 / XL_STEPS, 3),
+    })
+
+
+def _run_phase(phase: str, state_path: str, timeout_s: int) -> str:
+    """Run one phase in a child process; return an error string or ''."""
+    cmd = [sys.executable, "-u", os.path.abspath(__file__),
+           "--phase", phase, "--state", state_path]
+    try:
+        r = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=timeout_s)
+        if r.returncode != 0:
+            tail = (r.stderr or r.stdout or "").strip().splitlines()[-6:]
+            return f"rc={r.returncode}: " + " | ".join(tail)[-400:]
+        return ""
+    except subprocess.TimeoutExpired:
+        return f"timeout after {timeout_s}s"
+    except Exception as e:  # pragma: no cover
+        return repr(e)[:200]
+
+
+def main() -> int:
+    state_path = os.path.join(tempfile.gettempdir(),
+                              f"dvdx_bench_state_{os.getpid()}.json")
+    _update_state(state_path, {})
+
+    errs = {}
+    e = _run_phase("standard", state_path, STANDARD_TIMEOUT_S)
+    if e:
+        errs["standard_error"] = e
+    e = _run_phase("xl", state_path, XL_TIMEOUT_S)
+    if e:
+        errs["xl_error"] = e
+
+    with open(state_path) as f:
+        result = json.load(f)
+    try:
+        os.unlink(state_path)
+    except OSError:
+        pass
+    result.update(errs)
+    # the driver contract: ONE JSON line, headline keys first
+    ordered = {k: result[k] for k in
+               ("metric", "value", "unit", "vs_baseline") if k in result}
+    ordered.update({k: v for k, v in result.items() if k not in ordered})
+    print(json.dumps(ordered))
+    return 0 if "value" in result else 1
 
 
 if __name__ == "__main__":
-    main()
+    if "--phase" in sys.argv:
+        phase = sys.argv[sys.argv.index("--phase") + 1]
+        state = sys.argv[sys.argv.index("--state") + 1]
+        {"standard": phase_standard, "xl": phase_xl}[phase](state)
+    else:
+        sys.exit(main())

@@ -43,7 +43,12 @@ def main(argv=None):
     print("[stage2] deposit bounds...")
     cost = d_min_grid(DEFAULT, res=res)
     s = summarize(cost)
-    print(f"  min D: ${s['min_d_usd']:.4f}  median D: ${s['median_d_usd']:.4f}")
+    # summarize() yields None when NO grid cell is secure (ADVICE r2) —
+    # report that honestly instead of crashing on NoneType.__format__
+    def _usd(v):
+        return f"${v:.4f}" if v is not None else "n/a (no secure region)"
+
+    print(f"  min D: {_usd(s['min_d_usd'])}  median D: {_usd(s['median_d_usd'])}")
     np.savez(os.path.join(args.out, "results_stage2.npz"),
              **{k: v for k, v in cost.items()})
 

@@ -77,7 +77,10 @@ def plot_sensitivity(rows: List[dict], x_key: str, out_path: str,
         axes = [axes]
     xs = [r[x_key] for r in rows]
     for ax, yk in zip(axes, y_keys):
-        ax.plot(xs, [r[yk] for r in rows], marker="o")
+        # a row with no secure region carries None (ADVICE r2) — plot it as
+        # NaN (matplotlib drops the point) rather than raising
+        ys = [float("nan") if r[yk] is None else r[yk] for r in rows]
+        ax.plot(xs, ys, marker="o")
         ax.set_xlabel(x_key)
         ax.set_ylabel(yk)
         ax.grid(alpha=0.3)

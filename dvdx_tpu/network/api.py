@@ -213,6 +213,15 @@ def create_app(ledger: Ledger, listener: DepositListener, registry: Registry,
             return web.FileResponse(page)
         return web.json_response({"service": "dvdx validator API"})
 
+    async def status_page(_request):
+        # per-request score/spot-check breakdown + debug view (the reference's
+        # status/[requestId].tsx and debug.tsx pages)
+        page = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), "frontend", "status.html")
+        if os.path.exists(page):
+            return web.FileResponse(page)
+        return web.json_response({"error": "status page not installed"}, status=404)
+
     async def weights(_request):
         # on-chain weight emission view (set_weights analog,
         # base/validator.py:187-291): kappa-clipped normalised + u16
@@ -223,6 +232,7 @@ def create_app(ledger: Ledger, listener: DepositListener, registry: Registry,
                                        "u16": sb.weights_u16()}))
 
     app.router.add_get("/", index)
+    app.router.add_get("/status.html", status_page)
     app.router.add_get("/weights", weights)
     app.router.add_post("/submit_prompt", submit_prompt)
     app.router.add_get("/status/{rid}", status)

@@ -59,6 +59,11 @@ class MinerConfig:
     # (after dedup) stops leaf_indices=[0]*10**6 memory amplification
     max_reveal_indices: int = 64
     fps_default: int = 8
+    # replay bound (ADVICE r2): signed requests carry issued_at; anything
+    # outside this window is refused, and inference request_ids are deduped,
+    # so a captured signed request cannot be replayed to burn compute.
+    # Matches the 600 s registration replay bound in verify/proof.py.
+    max_request_age_s: float = 600.0
 
 
 class Miner(Neuron):
@@ -78,6 +83,11 @@ class Miner(Neuron):
         )
         self.metrics = {"requests": 0, "errors": 0, "reveals": 0,
                         "total_gen_s": 0.0}
+        # replay dedupe: request_ids already generated for (bounded; within
+        # the freshness window this cannot overflow in honest operation)
+        self._served_ids: "collections.OrderedDict[str, bool]" = (
+            collections.OrderedDict()
+        )
 
     # -- policies (reference blacklist/priority, miner.py:760-811) --
 
@@ -115,6 +125,9 @@ class Miner(Neuron):
         if not req.signature or not verify_signature(
                 req.validator_pubkey, P.signing_bytes(req), req.signature):
             return "unsigned or invalid request signature"
+        age = abs(time.time() - float(getattr(req, "issued_at", 0.0)))
+        if age > self.config.max_request_age_s:
+            return f"stale request (age {age:.0f}s > replay bound)"
         if self.blacklisted(req.validator_pubkey):
             return "blacklisted caller"
         return ""
@@ -126,6 +139,14 @@ class Miner(Neuron):
             self.metrics["errors"] += 1
             return P.InferenceResponse(request_id=req.request_id, status="error",
                                        error=rejected)
+        if req.request_id in self._served_ids:
+            # a replayed capture of a still-fresh signed request (ADVICE r2)
+            self.metrics["errors"] += 1
+            return P.InferenceResponse(request_id=req.request_id, status="error",
+                                       error="replayed request_id")
+        self._served_ids[req.request_id] = True
+        while len(self._served_ids) > 4096:
+            self._served_ids.popitem(last=False)
         try:
             return self._generate_with_proof(req)
         except Exception as e:  # graceful degradation (miner.py:690-728)

@@ -123,6 +123,11 @@ class InferenceRequest:
     # chip). Validator-chosen; prover and verifier must execute the same
     # program for bitwise re-execution, so it rides in the request.
     cfg_split: bool = False
+    # signing time (unix seconds), covered by the signature: miners reject
+    # requests outside a freshness window AND dedupe request_ids, so a
+    # captured signed request cannot be replayed indefinitely to burn miner
+    # compute (ADVICE r2 — registrations had a replay bound; requests didn't)
+    issued_at: float = 0.0
     # Ed25519 over signing_bytes(self) under validator_pubkey — proves the
     # sender holds the claimed validator key (pubkeys are public via the
     # registry; without this, anyone can farm free generations)
@@ -169,6 +174,7 @@ class RevealRequest:
     merkle_root: bytes
     leaf_indices: List[int]
     validator_pubkey: bytes = b""
+    issued_at: float = 0.0        # freshness bound (see InferenceRequest)
     signature: bytes = b""        # Ed25519 over signing_bytes(self)
 
 

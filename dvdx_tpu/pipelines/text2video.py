@@ -271,7 +271,7 @@ def cfg_denoise_step(
     MXU occupancy. Bit-different program from the batched path, so prover and
     verifier must agree on the flag (it is part of the step-program identity).
     """
-    t = sched.timesteps[step_index]
+    t = jnp.asarray(sched.timesteps)[step_index]
     b = z.shape[0]
     x = z
     if context_latent is not None and context_weight > 0.0:

@@ -47,23 +47,54 @@ def load_params(path: str, like: Optional[Any] = None) -> Any:
         return ckptr.restore(path)
 
 
+def _local_fetcher(src: str, dst: str) -> None:
+    if os.path.exists(dst):
+        shutil.rmtree(dst)
+    shutil.copytree(src, dst)
+
+
+def _hf_snapshot(repo_id: str, revision: Optional[str], dst: str) -> None:
+    """One HF-hub snapshot attempt (separated so tests can monkeypatch the
+    network call; the runtime here has zero egress)."""
+    from huggingface_hub import snapshot_download
+
+    snapshot_download(repo_id=repo_id, revision=revision, local_dir=dst,
+                      token=os.environ.get("HF_TOKEN") or None)
+
+
+def hf_fetcher(src: str) -> Callable[[str, str], None]:
+    """Adapter for `hf://org/name[@revision]` sources — the analog of the
+    reference's retry-hardened snapshot downloader
+    (`/root/reference/Distribution/download_model.py:17-94`). The retry/
+    backoff loop lives in fetch_checkpoint; this performs ONE attempt."""
+    spec = src[len("hf://"):]
+    repo_id, _, revision = spec.partition("@")
+    if not repo_id or repo_id.count("/") != 1:
+        raise ValueError(f"bad hf source {src!r}; expected hf://org/name[@rev]")
+
+    def fetch(_src: str, dst: str) -> None:
+        os.makedirs(dst, exist_ok=True)
+        _hf_snapshot(repo_id, revision or None, dst)
+
+    return fetch
+
+
 def fetch_checkpoint(src: str, dst: str, *, retries: int = 5,
                      backoff_s: float = 1.0,
                      fetcher: Optional[Callable[[str, str], None]] = None) -> str:
     """Retry-hardened checkpoint fetch (the download_model.py analog).
 
-    fetcher(src, dst) performs one attempt (default: local copytree); network
-    adapters (GCS, HF hub) plug in the same signature.
+    Sources: a local path (copytree), `hf://org/name[@revision]` (HF-hub
+    snapshot via hf_fetcher), or any custom fetcher(src, dst) with the same
+    one-attempt signature (GCS etc. plug in here). Every attempt failure is
+    retried with exponential backoff, like the reference's downloader.
     """
+    if fetcher is None:
+        fetcher = hf_fetcher(src) if src.startswith("hf://") else _local_fetcher
     last_err: Optional[Exception] = None
     for attempt in range(retries):
         try:
-            if fetcher is not None:
-                fetcher(src, dst)
-            else:
-                if os.path.exists(dst):
-                    shutil.rmtree(dst)
-                shutil.copytree(src, dst)
+            fetcher(src, dst)
             return dst
         except Exception as e:  # noqa: BLE001 — retry everything, like the ref
             last_err = e

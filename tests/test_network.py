@@ -7,6 +7,7 @@ validator logic runs over the real wire format, only sockets are mocked
 """
 
 import asyncio
+import time as _time
 
 import numpy as np
 import pytest
@@ -220,6 +221,7 @@ def test_miner_spool_survives_lru_eviction(tiny_pipeline_module, tmp_path):
                   reg, cfg)
 
     def signed(msg):
+        msg.issued_at = _time.time()   # replay bound: miners refuse stale
         msg.signature = vkp.sign(P.signing_bytes(msg))
         return msg
 
@@ -272,3 +274,132 @@ def test_segment_recording_bitwise(tiny_pipeline_module):
     _, zs2, eps2, _ = eng.generate_recorded("segment probe", segment_steps=2, **kw)
     assert zs1.tobytes() == zs2.tobytes()
     assert eps1.tobytes() == eps2.tobytes()
+
+
+# --- round-3 hardening: replay bounds, audit unpredictability, dead-majority
+
+
+def test_majority_dead_miners_round_settles(tiny_pipeline_module):
+    """60% of registered miners are dead (handlers removed after register):
+    the ping top-up must keep refilling from the pool until the sample is
+    full, and the round settles with only live miners (VERDICT r2 item 10)."""
+    cfg = ValidatorConfig(sample_size=4, num_checkpoints=1, num_frames=2,
+                          width=32, height=32, num_steps=2,
+                          ping_timeout_s=0.5)
+    net = build_mock_network(n_miners=10, pipeline=tiny_pipeline_module,
+                             validator_config=cfg)
+    dead = [0, 1, 2, 5, 7, 9]
+    for uid in dead:
+        del net.transport._handlers[f"mock://miner-{uid}"]
+
+    report = _run(net.run_request("req-dead", "a lighthouse at dusk"))
+    assert set(report["miners"]) <= {"3", "4", "6", "8"}
+    assert len(report["miners"]) == 4  # refilled to full despite 60% dead
+    for d in report["miners"].values():
+        assert d["score"] > 0.0 and not d.get("cheat", False)
+    # every dead candidate that was pinged is accounted
+    assert net.validator.metrics.get("ping_failures", 0) >= 1
+
+
+def test_audit_schedule_unpredictable(tiny_pipeline_module):
+    """Two validators' audit/skip draws must differ (OS entropy, not the
+    shared seeded PRNG of round 2 that any miner could replay from source)."""
+    from dvdx_tpu.verify.proof import Keypair
+
+    cfg = ValidatorConfig(sample_size=1, audit_rate=0.5, num_frames=2,
+                          width=32, height=32, num_steps=2)
+    net = build_mock_network(n_miners=1, pipeline=tiny_pipeline_module,
+                             validator_config=cfg)
+    from dvdx_tpu.network.validator import Validator
+
+    v2 = Validator(tiny_pipeline_module, Keypair.from_seed(b"validator-2"),
+                   net.registry, net.transport, net.ledger, cfg)
+    seq1 = [net.validator._audit_decision() for _ in range(64)]
+    seq2 = [v2._audit_decision() for _ in range(64)]
+    assert seq1 != seq2                      # P(collision) = 2^-3392
+    assert [s for s, _ in seq1] != [s for s, _ in seq1[1:]] + [True]
+    # draws are published for third-party auditability
+    assert all(0.0 <= float(d) < 1.0 for _, d in seq1 + seq2)
+
+
+def test_replayed_and_stale_requests_rejected(tiny_pipeline_module):
+    """A captured signed request must not be replayable (ADVICE r2): stale
+    issued_at is refused, and a fresh request_id is served exactly once."""
+    from dvdx_tpu.network.miner import Miner
+    from dvdx_tpu.network.base import Registry
+    from dvdx_tpu.verify.proof import Keypair
+
+    reg = Registry()
+    vkp = Keypair.from_seed(b"replay-validator")
+    reg.register(vkp.public_bytes, "v", role="validator", stake=100)
+    miner = Miner(tiny_pipeline_module, Keypair.from_seed(b"replay-miner"), reg)
+
+    def make(rid, issued_at):
+        req = P.InferenceRequest(
+            request_id=rid, prompt="replay probe", width=32, height=32,
+            num_frames=2, num_steps=2, seed=5, challenge=b"\x04" * 32,
+            issued_at=issued_at, validator_pubkey=vkp.public_bytes)
+        req.signature = vkp.sign(P.signing_bytes(req))
+        return req
+
+    stale = miner.handle(make("rp-old", _time.time() - 10_000))
+    assert stale.status == "error" and "stale" in stale.error
+    # issued_at is covered by the signature: forging freshness breaks it
+    tampered = make("rp-forge", _time.time() - 10_000)
+    tampered.issued_at = _time.time()
+    forged = miner.handle(tampered)
+    assert forged.status == "error" and "signature" in forged.error
+
+    fresh = make("rp-1", _time.time())
+    first = miner.handle(fresh)
+    assert first.status == "ok"
+    replay = miner.handle(fresh)
+    assert replay.status == "error" and "replayed" in replay.error
+
+
+class _RevealBlackhole:
+    """Transport wrapper: drops every RevealRequest; optionally also drops
+    pings after the first reveal attempt (simulating a mid-round crash)."""
+
+    def __init__(self, inner, ping_dies: bool):
+        self.inner = inner
+        self.ping_dies = ping_dies
+        self.saw_reveal = False
+
+    async def request(self, address, msg, timeout_s=300.0):
+        if isinstance(msg, P.RevealRequest):
+            self.saw_reveal = True
+            raise asyncio.TimeoutError("blackholed reveal")
+        if isinstance(msg, P.Ping) and self.saw_reveal and self.ping_dies:
+            raise asyncio.TimeoutError("miner crashed")
+        return await self.inner.request(address, msg, timeout_s=timeout_s)
+
+
+@pytest.mark.parametrize("ping_dies,expect_cheat,expect_check", [
+    (True, False, "reveal_unreachable"),   # crash/partition: no slash
+    (False, True, "reveal_refused"),       # alive but refusing: slash
+])
+def test_reveal_abort_slash_requires_reachability(tiny_pipeline_module,
+                                                  ping_dies, expect_cheat,
+                                                  expect_check):
+    """Reveal-abort slashing must distinguish a crashed miner from a
+    selectively-refusing one (ADVICE r2): transport failure + unreachable
+    scores 0 WITHOUT the slash; a miner that still answers pings while
+    dropping reveals is refusing and gets slashed."""
+    cfg = ValidatorConfig(sample_size=1, num_checkpoints=1, num_frames=2,
+                          width=32, height=32, num_steps=2,
+                          ping_timeout_s=0.5)
+    net = build_mock_network(n_miners=1, pipeline=tiny_pipeline_module,
+                             validator_config=cfg)
+    net.validator.transport = _RevealBlackhole(net.transport, ping_dies)
+    stake_before = net.ledger.stake_of("miner-0")
+
+    report = _run(net.run_request("req-abort", "a glass of water"))
+    d = report["miners"]["0"]
+    assert d["failed_check"] == expect_check, d
+    assert d.get("cheat", False) is expect_cheat
+    assert d["score"] == 0.0
+    if expect_cheat:
+        assert net.ledger.stake_of("miner-0") < stake_before
+    else:
+        assert net.ledger.stake_of("miner-0") == stake_before

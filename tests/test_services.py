@@ -60,10 +60,12 @@ def test_http_transport_roundtrip(tiny_pipeline_module):
         try:
             pong = await t.request(f"127.0.0.1:{port}", P.Ping(nonce=5))
             assert isinstance(pong, P.Pong) and pong.nonce == 5
+            import time as _time
+
             req = P.InferenceRequest(
                 request_id="h1", prompt="an http request", width=32, height=32,
                 num_frames=2, num_steps=2, seed=9, challenge=b"\x02" * 32,
-                validator_pubkey=vkp.public_bytes)
+                issued_at=_time.time(), validator_pubkey=vkp.public_bytes)
             req.signature = vkp.sign(P.signing_bytes(req))
             resp = await t.request(f"127.0.0.1:{port}", req)
             assert resp.status == "ok"
@@ -93,6 +95,13 @@ def test_rest_api_lifecycle():
             async with ClientSession() as sess:
                 async with sess.get(f"{base}/health") as r:
                     assert (await r.json())["status"] == "ok"
+                # frontend pages are served: index + per-request status page
+                # (reference status/[requestId].tsx + debug.tsx parity)
+                async with sess.get(f"{base}/status.html") as r:
+                    assert r.status == 200
+                    page = await r.text()
+                    assert "Per-miner scores" in page
+                    assert "spot-check detail" in page
                 # deposit via the faucet endpoint
                 ph = prompt_commitment("make a video").hex()
                 async with sess.post(f"{base}/deposit", json={

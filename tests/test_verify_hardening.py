@@ -151,9 +151,11 @@ def test_oversized_geometry_rejected_by_miner(tiny_pipeline_module):
     reg.register(vkp.public_bytes, "v", role="validator", stake=100)
     miner = Miner(tiny_pipeline_module, Keypair.from_seed(b"geom-miner"),
                   reg, MinerConfig(max_height=64, max_width=64))
+    import time as _time
+
     req = P.InferenceRequest(request_id="g1", prompt="huge", width=4096,
                              height=4096, num_frames=2, num_steps=2, seed=1,
-                             challenge=b"\x03" * 32,
+                             challenge=b"\x03" * 32, issued_at=_time.time(),
                              validator_pubkey=vkp.public_bytes)
     req.signature = vkp.sign(P.signing_bytes(req))
     resp = miner.handle(req)
