@@ -139,15 +139,18 @@ def phase_standard(state_path: str) -> None:
 
     # pre-flight: explicit compile first, so a lowering/compile failure is
     # reported distinctly and the static HBM reservation is known before any
-    # full-length device execution is attempted
+    # full-length device execution is attempted. Execution still goes through
+    # the normal jit dispatch (cache-hit after this compile): calling the AOT
+    # executable directly never completes on the axon remote runtime.
     t0 = time.time()
     compiled = fn.lower(params, ids, key).compile()
     compile_s = time.time() - t0
     mem = _mem_report(dev, [compiled])
+    del compiled
     _update_state(state_path, {"compile_s": round(compile_s, 1), **mem})
 
     t0 = time.time()
-    frames = compiled(params, ids, key)
+    frames = fn(params, ids, key)
     _force(frames)
     first_s = time.time() - t0
     _update_state(state_path, {
@@ -156,7 +159,7 @@ def phase_standard(state_path: str) -> None:
     times = []
     for _ in range(2):
         t0 = time.time()
-        frames = compiled(params, ids, key)
+        frames = fn(params, ids, key)
         _force(frames)
         times.append(time.time() - t0)
     sec_per_video = min(times)
@@ -191,6 +194,19 @@ def phase_standard(state_path: str) -> None:
         "spotcheck_reexec_s": round(reexec_s, 3),
         "verify_overhead_pct_25step": round(100 * reexec_s / sec_per_video, 2),
         "verify_steps_fraction_25step": round(k / NUM_STEPS, 3),
+    })
+
+    # economics-derived k=2 at T=25 (min_checkpoints_secure: EV_cheat < 0
+    # preserved; BASELINE.md claim mapping) — the <10% configuration
+    multi2, _ = engine.multi_step_fn(NUM_STEPS, 7.5, 2)
+    idxs2 = jnp.asarray([9, NUM_STEPS - 1], jnp.int32)
+    _force(multi2(params, zs[:2], idxs2, cond, uncond)[0])
+    t0 = time.time()
+    _force(multi2(params, zs[:2], idxs2, cond, uncond)[0])
+    reexec2_s = time.time() - t0
+    _update_state(state_path, {
+        "verify_overhead_pct_25step_k2": round(100 * reexec2_s / sec_per_video, 2),
+        "verify_steps_fraction_25step_k2": round(2 / NUM_STEPS, 3),
     })
 
 

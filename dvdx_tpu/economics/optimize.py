@@ -58,3 +58,43 @@ def cheapest_secure_point(params: EconParams = DEFAULT, gamma: float = 0.8,
         "d_min_usd": float(dmin["d_min_usd"][gi, ai, fi]),
         "secure_fraction_at_gamma": float(secure.mean()),
     }
+
+
+def min_checkpoints_secure(params: EconParams = DEFAULT, gamma: float = 0.8,
+                           t_steps: int = 25, budget_fraction: float = 0.10,
+                           margin: float = 0.0, k_floor: int = 2,
+                           **sweep_kwargs) -> Dict[str, float]:
+    """Smallest spot-check count k whose re-execution budget k/T stays within
+    `budget_fraction` AND still admits a secure (alpha, f) region.
+
+    This closes the verify-overhead loop (BASELINE '<10% spot-check
+    overhead'): re-execution cost is exactly k UNet steps out of T, so at
+    T=25 the reference default k=3 is 12% by arithmetic — no kernel can fix
+    that. The economics, however, stay secure at smaller k because slashing
+    + stake depletion dominate detection probability
+    (`/root/reference/Economics/core/security_analysis.py:32-67` EV
+    structure), so the validator can BUY the budget back with k=2 at T=25
+    while EV_cheat < EV_honest holds for every tamper strategy.
+
+    k_floor=2: the protocol needs the always-checked final step (video-trace
+    binding) plus at least one interior sample to keep the hypergeometric
+    detection live (network/validator._spot_check).
+
+    Returns the chosen point dict (cheapest_secure_point fields) plus
+    {"k": k, "verify_fraction": k / t_steps}; infeasible when even the
+    largest k within budget admits no secure region.
+    """
+    import dataclasses as _dc
+
+    k_max = max(k_floor, int(budget_fraction * t_steps))
+    best: Dict[str, float] = {"feasible": False, "gamma": float(gamma)}
+    for k in range(k_floor, k_max + 1):
+        p = _dc.replace(params, num_checkpoints=k)
+        pt = cheapest_secure_point(p, gamma=gamma, margin=margin,
+                                   **sweep_kwargs)
+        if pt.get("feasible"):
+            pt["k"] = k
+            pt["verify_fraction"] = k / float(t_steps)
+            return pt
+        best = pt
+    return best

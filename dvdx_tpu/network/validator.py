@@ -91,23 +91,37 @@ class ValidatorConfig:
 
     @classmethod
     def from_economics(cls, gamma: float = 0.8, margin: float = 0.0,
-                       params=None, **overrides) -> "ValidatorConfig":
+                       params=None, verify_budget_fraction: float = 0.0,
+                       **overrides) -> "ValidatorConfig":
         """Derive the protocol knobs from the Economics pillar: the cheapest
         (audit rate alpha, slash fraction f) with EV_cheat < EV_honest for
         every tamper strategy at the given trust decay gamma (the reference
         hand-copies alpha*=0.30/f*=0.10/gamma=0.8 from its simulations into
         InferNet/config.py:64-79 — here the closed loop is one call).
-        Raises if no secure point exists at this gamma."""
-        from ..economics.optimize import cheapest_secure_point
+
+        verify_budget_fraction > 0 additionally derives the SMALLEST secure
+        spot-check count k with k/num_steps within the budget
+        (economics.optimize.min_checkpoints_secure) — e.g. 0.10 at T=25
+        yields k=2, keeping BASELINE's '<10% spot-check overhead' without
+        giving up EV_cheat < 0. Raises if no secure point exists."""
+        from ..economics.optimize import (cheapest_secure_point,
+                                          min_checkpoints_secure)
         from ..economics.params import DEFAULT
 
-        pt = cheapest_secure_point(params or DEFAULT, gamma=gamma,
-                                   margin=margin)
+        p = params or DEFAULT
+        if verify_budget_fraction > 0:
+            t = int(overrides.get("num_steps", cls.num_steps))
+            pt = min_checkpoints_secure(p, gamma=gamma, t_steps=t,
+                                        budget_fraction=verify_budget_fraction,
+                                        margin=margin)
+            k = pt.get("k", p.num_checkpoints)
+        else:
+            pt = cheapest_secure_point(p, gamma=gamma, margin=margin)
+            k = p.num_checkpoints
         if not pt.get("feasible"):
             raise ValueError(f"no secure (alpha, f) region at gamma={gamma}")
         base = dict(audit_rate=pt["alpha"], slash_fraction=pt["f"],
-                    trust_decay=gamma,
-                    num_checkpoints=(params or DEFAULT).num_checkpoints)
+                    trust_decay=gamma, num_checkpoints=k)
         base.update(overrides)
         return cls(**base)
 
