@@ -52,12 +52,36 @@ class TimeEmbedding(nn.Module):
         return h
 
 
+class FusedGroupNorm(nn.Module):
+    """GroupNorm(+pre-bias)(+SiLU) with nn.GroupNorm's parameter tree
+    ('scale'/'bias', f32) but computed by ops.groupnorm.group_norm_act — a
+    one-pass pallas kernel on TPU (1 HBM read instead of XLA's 2; the UNet
+    step is activation-HBM-bound, docs/PERF_NOTES.md), an equivalent jnp
+    path elsewhere. Statistics span every non-leading axis (per-frame GN
+    semantics of diffusers ResnetBlock2D/Transformer2DModel)."""
+
+    groups: int
+    eps: float
+    act: str = "none"           # 'none' | 'silu'
+
+    @nn.compact
+    def __call__(self, x: jax.Array, bias: Optional[jax.Array] = None) -> jax.Array:
+        from ..ops.groupnorm import group_norm_act
+
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return group_norm_act(x, scale, b, groups=self.groups, eps=self.eps,
+                              act=self.act, bias=bias)
+
+
 class ResnetBlock2D(nn.Module):
     """Spatial resnet block applied per-frame on (N, H, W, C).
 
     Semantics (incl. GroupNorm eps=1e-5 and temb injection point) match
     diffusers ResnetBlock2D so pretrained UNet3D weights load exactly
-    (utils/convert.py)."""
+    (utils/convert.py). Both GroupNorm->SiLU pairs (and the time-embedding
+    add feeding norm2) run as the fused one-pass kernel."""
 
     out_channels: int
     groups: int = 32
@@ -68,15 +92,11 @@ class ResnetBlock2D(nn.Module):
     def __call__(self, x: jax.Array, temb: jax.Array) -> jax.Array:
         # x: (N, H, W, C); temb: (N, D)
         residual = x
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
-                         dtype=self.dtype, name="norm1")(x)
-        h = nn.silu(h)
+        h = FusedGroupNorm(self.groups, self.eps, act="silu", name="norm1")(x)
         h = nn.Conv(self.out_channels, (3, 3), padding="SAME", dtype=self.dtype, name="conv1")(h)
         t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
-        h = h + t[:, None, None, :]
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
-                         dtype=self.dtype, name="norm2")(h)
-        h = nn.silu(h)
+        h = FusedGroupNorm(self.groups, self.eps, act="silu",
+                           name="norm2")(h, bias=t)
         h = nn.Conv(self.out_channels, (3, 3), padding="SAME", dtype=self.dtype, name="conv2")(h)
         if residual.shape[-1] != self.out_channels:
             residual = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(residual)
@@ -212,8 +232,7 @@ class SpatialTransformer(nn.Module):
         # diffusers Transformer2DModel: GroupNorm(32, eps=1e-6); its 1x1-conv
         # proj_in/out (use_linear_projection=False) is Dense math — the
         # converter reshapes (C,C,1,1) conv kernels into (C,C)
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6,
-                         dtype=self.dtype, name="norm")(x)
+        h = FusedGroupNorm(self.groups, 1e-6, act="none", name="norm")(x)
         h = h.reshape(n, hh * ww, c)
         h = nn.Dense(c, dtype=self.dtype, name="proj_in")(h)
         for i in range(self.depth):
