@@ -37,9 +37,30 @@ import numpy as np
 # annihilated by the zero mask columns on the way back
 _G_PAD = 128
 
-# rows larger than this (f32 bytes, x + centered copy + output) fall back to
-# the XLA path rather than risk VMEM exhaustion
-_VMEM_ROW_LIMIT = 4 * 1024 * 1024
+# the bf16 row (lane-padded) is VMEM-resident with double-buffered in/out
+# blocks (4 copies); rows padding past this fall back to the XLA path
+_VMEM_ROW_LIMIT = 5 * 2 * 1024 * 1024 // 4
+# f32 chunk temporaries are kept under this by static L-chunking
+_F32_CHUNK_LIMIT = 2 * 1024 * 1024
+
+
+def _pad128(c: int) -> int:
+    return (c + 127) // 128 * 128
+
+
+def _pick_chunks(l: int, c: int) -> Optional[int]:
+    """Smallest chunk count whose f32 (Lc, Cpad) slice fits the budget;
+    chunk boundaries must be 8-row aligned (sublane tiling). None = no valid
+    split (caller falls back to XLA)."""
+    for k in (1, 2, 4, 8, 16):
+        if l % k:
+            continue
+        lc = l // k
+        if k > 1 and lc % 8:
+            continue
+        if lc * _pad128(c) * 4 <= _F32_CHUNK_LIMIT:
+            return k
+    return None
 
 
 def _masks(channels: int, groups: int):
@@ -52,26 +73,39 @@ def _masks(channels: int, groups: int):
 
 def _gn_kernel(x_ref, gamma_ref, beta_ref, bias_ref, mask_ref, maskt_ref,
                o_ref, *, n_per_group: int, eps: float, act: str,
-               out_dtype):
-    x = x_ref[0].astype(jnp.float32)                      # (L, C)
-    x = x + bias_ref[...].astype(jnp.float32)             # (1, C) bias row
+               out_dtype, n_chunks: int):
+    """Per-row one-pass GN. The bf16 row lives in VMEM once; f32 work is done
+    in `n_chunks` statically-unrolled L-slices so the f32 temporaries stay
+    chunk-sized — a full-row f32 materialisation blew the 16 MB scoped-vmem
+    limit at the (2880, 320) level-0 rows (Mosaic stack OOM)."""
+    l, c = x_ref.shape[1], x_ref.shape[2]
+    lc = l // n_chunks
+    bias = bias_ref[0].astype(jnp.float32)                # (1, C)
     mask = mask_ref[...]                                  # (C, Gp)
     maskt = maskt_ref[...]                                # (Gp, C)
     inv_n = 1.0 / n_per_group
 
-    s = jnp.sum(x, axis=0, keepdims=True)                 # (1, C)
+    # pass 1 (VMEM-resident): one-pass moments, flax use_fast_variance math
+    s = jnp.zeros((1, c), jnp.float32)
+    s2 = jnp.zeros((1, c), jnp.float32)
+    for i in range(n_chunks):                             # static slices
+        xi = x_ref[0, i * lc:(i + 1) * lc, :].astype(jnp.float32) + bias
+        s = s + jnp.sum(xi, axis=0, keepdims=True)
+        s2 = s2 + jnp.sum(xi * xi, axis=0, keepdims=True)
     mean_g = jax.lax.dot(s, mask) * inv_n                 # (1, Gp)
+    var_g = jax.lax.dot(s2, mask) * inv_n - mean_g * mean_g
     mean_c = jax.lax.dot(mean_g, maskt)                   # (1, C)
-    xc = x - mean_c
-    ss = jnp.sum(xc * xc, axis=0, keepdims=True)          # (1, C)
-    var_g = jax.lax.dot(ss, mask) * inv_n                 # (1, Gp)
     rstd_c = jax.lax.dot(jax.lax.rsqrt(var_g + eps), maskt)
 
-    y = xc * rstd_c * gamma_ref[...].astype(jnp.float32) \
-        + beta_ref[...].astype(jnp.float32)
-    if act == "silu":
-        y = y * jax.nn.sigmoid(y)
-    o_ref[0] = y.astype(out_dtype)
+    g = rstd_c * gamma_ref[...].astype(jnp.float32)       # (1, C)
+    b = beta_ref[...].astype(jnp.float32) - mean_c * g
+    # pass 2 (still the same VMEM-resident row): normalize + activate
+    for i in range(n_chunks):
+        xi = x_ref[0, i * lc:(i + 1) * lc, :].astype(jnp.float32) + bias
+        y = xi * g + b
+        if act == "silu":
+            y = y * jax.nn.sigmoid(y)
+        o_ref[0, i * lc:(i + 1) * lc, :] = y.astype(out_dtype)
 
 
 # tests flip this to run the kernel through the pallas interpreter on CPU
@@ -86,7 +120,7 @@ def _gn_pallas(x3, gamma, beta, bias, *, groups: int, eps: float, act: str):
     mask, maskt = _masks(c, groups)
     kern = functools.partial(
         _gn_kernel, n_per_group=l * (c // groups), eps=eps, act=act,
-        out_dtype=x3.dtype)
+        out_dtype=x3.dtype, n_chunks=_pick_chunks(l, c))
     return pl.pallas_call(
         kern,
         grid=(n,),
@@ -94,23 +128,28 @@ def _gn_pallas(x3, gamma, beta, bias, *, groups: int, eps: float, act: str):
             pl.BlockSpec((1, l, c), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, c), lambda i: (0, 0)),
             pl.BlockSpec((1, c), lambda i: (0, 0)),
-            pl.BlockSpec((1, c), lambda i: (i, 0)),
+            # bias rides as (N, 1, C) so the per-row block (1, 1, C) meets
+            # the Mosaic rule (last two dims must equal the array dims or
+            # tile to (8, 128))
+            pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0)),
             pl.BlockSpec((c, _G_PAD), lambda i: (0, 0)),
             pl.BlockSpec((_G_PAD, c), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, l, c), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n, l, c), x3.dtype),
         interpret=_INTERPRET,
-    )(x3, gamma.reshape(1, c), beta.reshape(1, c), bias, mask, maskt)
+    )(x3, gamma.reshape(1, c), beta.reshape(1, c), bias.reshape(n, 1, c),
+      mask, maskt)
 
 
 def _gn_reference(x3, gamma, beta, bias, *, groups: int, eps: float, act: str):
-    """jnp twin with flax.linen.GroupNorm math (two-pass f32 statistics)."""
+    """jnp twin with flax.linen.GroupNorm math (fast-variance f32 moments,
+    matching the kernel's one-pass form)."""
     n, l, c = x3.shape
     x = x3.astype(jnp.float32) + bias.astype(jnp.float32)[:, None, :]
     xg = x.reshape(n, l, groups, c // groups)
     mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
-    var = jnp.mean(jnp.square(xg - mean), axis=(1, 3), keepdims=True)
+    var = jnp.mean(jnp.square(xg), axis=(1, 3), keepdims=True) - mean * mean
     y = (xg - mean) * jax.lax.rsqrt(var + eps)
     y = y.reshape(n, l, c) * gamma.astype(jnp.float32) \
         + beta.astype(jnp.float32)
@@ -136,7 +175,8 @@ def group_norm_act(x: jax.Array, gamma: jax.Array, beta: jax.Array, *,
     use_pallas = (
         jax.default_backend() == "tpu"
         and c % groups == 0
-        and l * c * 4 <= _VMEM_ROW_LIMIT
+        and l * _pad128(c) * 2 <= _VMEM_ROW_LIMIT
+        and _pick_chunks(l, c) is not None
     )
     fn = _gn_pallas if use_pallas else _gn_reference
     return fn(x3, gamma, beta, bias, groups=groups, eps=eps,
