@@ -88,15 +88,31 @@ class ResnetBlock2D(nn.Module):
     dtype: jnp.dtype = jnp.float32
     eps: float = 1e-5
 
+    def _gn_silu(self, x, name, bias=None):
+        """GroupNorm+SiLU (+pre-bias): the pallas kernel where it measured
+        faster (deep-level rows), the ORIGINAL nn.GroupNorm program
+        everywhere else — an f32-twin fallback lowered 4% slower end-to-end
+        (docs/PERF_NOTES.md round-3 GN study). Both branches create the same
+        {name: scale, bias} params, so checkpoints are branch-agnostic."""
+        from ..ops.groupnorm import wants_pallas
+
+        if wants_pallas(x.shape, self.groups):
+            return FusedGroupNorm(self.groups, self.eps, act="silu",
+                                  name=name)(x, bias)
+        if bias is not None:
+            x = x + bias[:, None, None, :]
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
+                         dtype=self.dtype, name=name)(x)
+        return nn.silu(h)
+
     @nn.compact
     def __call__(self, x: jax.Array, temb: jax.Array) -> jax.Array:
         # x: (N, H, W, C); temb: (N, D)
         residual = x
-        h = FusedGroupNorm(self.groups, self.eps, act="silu", name="norm1")(x)
+        h = self._gn_silu(x, "norm1")
         h = nn.Conv(self.out_channels, (3, 3), padding="SAME", dtype=self.dtype, name="conv1")(h)
         t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
-        h = FusedGroupNorm(self.groups, self.eps, act="silu",
-                           name="norm2")(h, bias=t)
+        h = self._gn_silu(h, "norm2", bias=t)
         h = nn.Conv(self.out_channels, (3, 3), padding="SAME", dtype=self.dtype, name="conv2")(h)
         if residual.shape[-1] != self.out_channels:
             residual = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(residual)
@@ -231,8 +247,15 @@ class SpatialTransformer(nn.Module):
         residual = x
         # diffusers Transformer2DModel: GroupNorm(32, eps=1e-6); its 1x1-conv
         # proj_in/out (use_linear_projection=False) is Dense math — the
-        # converter reshapes (C,C,1,1) conv kernels into (C,C)
-        h = FusedGroupNorm(self.groups, 1e-6, act="none", name="norm")(x)
+        # converter reshapes (C,C,1,1) conv kernels into (C,C). Fused pallas
+        # GN only at the deep-level rows where it measured faster.
+        from ..ops.groupnorm import wants_pallas
+
+        if wants_pallas(x.shape, self.groups):
+            h = FusedGroupNorm(self.groups, 1e-6, act="none", name="norm")(x)
+        else:
+            h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6,
+                             dtype=self.dtype, name="norm")(x)
         h = h.reshape(n, hh * ww, c)
         h = nn.Dense(c, dtype=self.dtype, name="proj_in")(h)
         for i in range(self.depth):

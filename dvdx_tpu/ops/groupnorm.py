@@ -37,9 +37,13 @@ import numpy as np
 # annihilated by the zero mask columns on the way back
 _G_PAD = 128
 
-# the bf16 row (lane-padded) is VMEM-resident with double-buffered in/out
-# blocks (4 copies); rows padding past this fall back to the XLA path
-_VMEM_ROW_LIMIT = 5 * 2 * 1024 * 1024 // 4
+# Row-size ceiling for the pallas path, set by MEASUREMENT not VMEM: at the
+# large level-0/1 rows XLA's GN (stats pass producer-fused into the previous
+# conv) beats this kernel end-to-end (9.91 vs 9.53 s/video when applied
+# everywhere — the sequential per-row grid and the VMEM re-read cost more
+# than the saved HBM pass), while at deep-level rows ((180, 1280)-class) the
+# kernel wins ~1.5x standalone. VMEM itself allows ~2.5 MB rows.
+_VMEM_ROW_LIMIT = 512 * 1024
 # f32 chunk temporaries are kept under this by static L-chunking
 _F32_CHUNK_LIMIT = 2 * 1024 * 1024
 
@@ -158,6 +162,20 @@ def _gn_reference(x3, gamma, beta, bias, *, groups: int, eps: float, act: str):
     return y.astype(x3.dtype)
 
 
+def wants_pallas(shape, groups: int) -> bool:
+    """True when the pallas kernel is the measured winner for this fold:
+    TPU backend + deep-level row sizes (see _VMEM_ROW_LIMIT note). Call-site
+    branches use this so the fallback stays the EXACT nn.GroupNorm program
+    (an f32-twin fallback lowered measurably worse at the hot shapes:
+    9.91 vs 9.53 s/video end-to-end)."""
+    c = shape[-1]
+    l = int(np.prod(shape[1:-1]))
+    return (jax.default_backend() == "tpu"
+            and c % groups == 0
+            and l * _pad128(c) * 2 <= _VMEM_ROW_LIMIT
+            and _pick_chunks(l, c) is not None)
+
+
 def group_norm_act(x: jax.Array, gamma: jax.Array, beta: jax.Array, *,
                    groups: int, eps: float, act: str = "none",
                    bias: Optional[jax.Array] = None) -> jax.Array:
@@ -172,12 +190,6 @@ def group_norm_act(x: jax.Array, gamma: jax.Array, beta: jax.Array, *,
     if bias is None:
         bias = jnp.zeros((n, c), x.dtype)
 
-    use_pallas = (
-        jax.default_backend() == "tpu"
-        and c % groups == 0
-        and l * _pad128(c) * 2 <= _VMEM_ROW_LIMIT
-        and _pick_chunks(l, c) is not None
-    )
-    fn = _gn_pallas if use_pallas else _gn_reference
+    fn = _gn_pallas if wants_pallas(shape, groups) else _gn_reference
     return fn(x3, gamma, beta, bias, groups=groups, eps=eps,
               act=act).reshape(shape)
