@@ -27,6 +27,18 @@ import jax.numpy as jnp
 from ..ops.attention import multi_head_attention, ring_active
 
 
+def _kernel_impl(env_var: str) -> str:
+    """Per-kernel dispatch: '' -> auto (pallas on TPU, xla elsewhere);
+    'pallas'/'xla' force. Read at trace time so bench A/Bs can flip paths
+    without editing code."""
+    import os
+
+    forced = os.environ.get(env_var, "")
+    if forced:
+        return forced
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
 def timestep_embedding(t: jax.Array, dim: int, max_period: float = 10000.0) -> jax.Array:
     """Sinusoidal timestep embedding, f32. t: (B,) int/float -> (B, dim)."""
     half = dim // 2
@@ -152,9 +164,32 @@ class TemporalConvBlock(nn.Module):
         return x + h
 
 
+class _DenseParams(nn.Module):
+    """Declares exactly nn.Dense's parameter tree (kernel lecun_normal, bias
+    zeros, f32) without running its compute — lets a pallas kernel consume
+    Dense-compatible checkpoints. Same param names + init draws as nn.Dense."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (in_features, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        return k, b
+
+
 class GEGLUFeedForward(nn.Module):
     """GEGLU MLP, matching diffusers FeedForward(activation_fn='geglu'):
-    exact-erf gelu (torch F.gelu default), chunk order (value, gate)."""
+    exact-erf gelu (torch F.gelu default), chunk order (value, gate).
+
+    On TPU the whole MLP runs as one pallas kernel (ops/pallas/geglu_ff) so
+    the 8x-width inner tensor never touches HBM — at the flagship geometry
+    the unfused level-0 intermediate is 472 MB per FF call and the step is
+    activation-HBM-bound (docs/PERF_NOTES.md round-3 profile). The fallback
+    branch is LITERALLY the original nn.Dense program (the round-3 GN study
+    showed 'equivalent' re-lowered fallbacks can cost 4%)."""
 
     dim: int
     mult: int = 4
@@ -163,6 +198,12 @@ class GEGLUFeedForward(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         inner = self.dim * self.mult
+        if _kernel_impl("DVDX_FF_IMPL") == "pallas" and x.shape[-1] == self.dim:
+            from ..ops.pallas.geglu_ff import geglu_ff
+
+            w_in, b_in = _DenseParams(inner * 2, name="proj_in")(self.dim)
+            w_out, b_out = _DenseParams(self.dim, name="proj_out")(inner)
+            return geglu_ff(x.astype(self.dtype), w_in, b_in, w_out, b_out)
         hg = nn.Dense(inner * 2, dtype=self.dtype, name="proj_in")(x)
         h, gate = jnp.split(hg, 2, axis=-1)
         h = h * nn.gelu(gate, approximate=False)
@@ -341,6 +382,19 @@ class _FrameAxisAttention(nn.Module):
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
         k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(x)
         v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(x)
+        if not ring_active():
+            from ..ops.pallas.temporal_attention import (choose_blocking,
+                                                         temporal_attention)
+
+            if (_kernel_impl("DVDX_TEMPORAL_ATTN_IMPL") == "pallas"
+                    and choose_blocking(f, inner, self.num_heads)[0] > 0
+                    and self.head_dim <= 128 and n >= 64):
+                # packed block-diagonal MXU kernel, native (B, F, N, H*D)
+                # layout: no HBM logits, no relayouts (round-3 profile: the
+                # einsum path's softmax chain alone cost ~22 ms/step)
+                o = temporal_attention(q, k, v, heads=self.num_heads)
+                return nn.Dense(self.out_dim, dtype=self.dtype,
+                                name="to_out")(o)
         q = q.reshape(b, f, n, self.num_heads, self.head_dim)
         k = k.reshape(b, f, n, self.num_heads, self.head_dim)
         v = v.reshape(b, f, n, self.num_heads, self.head_dim)

@@ -8,12 +8,15 @@ softmax(QK^T * scale) V blockwise with the online-softmax recurrence so the
 for the MXU: all matmuls f32-accumulated, block shapes multiples of (16, 128)
 bf16 tiles.
 
-Grid: (batch*heads, q_blocks, k_blocks); the k dimension is innermost and
+Grid: (batch*heads, q_blocks[, k_blocks]); the k dimension is innermost and
 sequential on TPU, so running max/denominator/accumulator live in VMEM scratch
 across k iterations and the output is finalised on the last k block.
 
-Sequence lengths that don't divide the block size are zero-padded by the
-wrapper; padded key columns are masked to -inf before the softmax.
+Round-3: auto block sizes prefer multiple-of-8 divisors of S (S=2880 -> 576),
+so the standard geometry runs pad-free — the HBM pad/unpad-slice ops vanish
+and the pad mask compiles out (the padded 3072 path cost ~11 ms/step of
+pads+slices, docs/PERF_NOTES.md round-3 profile). Non-divisible sequence
+lengths still zero-pad and mask the key tail.
 """
 
 from __future__ import annotations
@@ -173,38 +176,64 @@ _ONEPASS_MAX_SEQ = 4096
 _ONEPASS_LOGITS_BYTES = 8 * 2**20
 
 
+def _gcd(a: int, b: int) -> int:
+    while b:
+        a, b = b, a % b
+    return a
+
+
+def _divisor_block(s: int, hi: int, logits_budget: int | None) -> int | None:
+    """Largest multiple-of-8 block <= hi that divides s (=> zero padding, the
+    pad mask compiles out); None if s has no usable divisor >= 128. The
+    one-pass schedule additionally bounds its (block, s) f32 logits tile."""
+    start = min(hi, s)
+    for bq in range(start - start % 8, 127, -8):
+        if s % bq == 0 and (logits_budget is None
+                            or bq * s * 4 <= logits_budget):
+            return bq
+    return None
+
+
 def flash_attention(q, k, v, *, scale: float | None = None,
                     block_q: int | None = None, block_k: int | None = None,
                     onepass: bool | None = None,
                     interpret: bool = False):
     """Self-attention over (B, S, H, D) — drop-in for the XLA path in
-    ops.attention. Pads S to a block multiple; masks the key tail.
+    ops.attention. Auto block sizes prefer divisors of S (zero padding);
+    otherwise S pads to a block multiple and the key tail is masked.
 
     onepass=None auto-selects the single-pass kernel when S_pad fits the
     VMEM residency bound; True/False forces the choice. Default blocks:
-    512 for the one-pass kernel (logits block_q x S_pad f32 must fit VMEM),
-    1024x1024 for the blocked recurrence (measured 2.7 -> 31.7 TFLOPS vs
-    512x512 at the XL spatial shape S=9216, BH=120 — benchmarks/attn_xl_ab)."""
+    512-class for the one-pass kernel (logits block_q x S_pad f32 must fit
+    VMEM), 1024x1024 for the blocked recurrence (measured 2.7 -> 31.7 TFLOPS
+    vs 512x512 at the XL spatial shape S=9216, BH=120 — benchmarks/attn_xl_ab)."""
     b, s, h, d = q.shape
     if scale is None:
         scale = d**-0.5
     if onepass is None:
-        # decide with the block size the caller asked for (512 default):
-        # one-pass needs short-enough S AND its logits block within VMEM —
-        # explicitly requested large blocks therefore force the blocked path
-        # instead of being silently ignored
+        # decide with the block size the caller asked for (512-class
+        # default): one-pass needs short-enough S AND its logits block within
+        # VMEM — explicitly requested large blocks therefore force the
+        # blocked path instead of being silently ignored
         bq = min(block_q or 512, max(128, 1 << (s - 1).bit_length()))
         s_probe = s + ((-s) % bq)
         onepass = (s_probe <= _ONEPASS_MAX_SEQ
                    and bq * s_probe * 4 <= _ONEPASS_LOGITS_BYTES)
     if block_q is None:
-        block_q = 512 if onepass else 1024
+        if onepass:
+            block_q = (_divisor_block(s, 1024, _ONEPASS_LOGITS_BYTES)
+                       or min(512, max(128, 1 << (s - 1).bit_length())))
+        else:
+            block_q = _divisor_block(s, 1024, None) or 1024
     if block_k is None:
         block_k = block_q
     block_q = min(block_q, max(128, 1 << (s - 1).bit_length()))
     block_k = min(block_k, block_q)
 
-    pad = (-s) % block_q
+    # S_pad must be a multiple of block_q (and of block_k when blocked):
+    # pad to the lcm — zero when the blocks divide S
+    mult = block_q if onepass else block_q * block_k // _gcd(block_q, block_k)
+    pad = (-s) % mult
     s_pad = s + pad
 
     def to_bh(x):

@@ -1,0 +1,196 @@
+"""Fused temporal (frame-axis) attention for TPU: many tiny softmax-attentions
+packed onto the MXU as one block-diagonal attention per 128-row tile.
+
+The video UNet's temporal transformers attend over the FRAME axis (F = 16-24)
+independently at every spatial position — per position the matmuls are
+(F x D)@(D x F) = 16x64x16, which the MXU executes at ~1.5% utilisation, and
+XLA additionally materialises the f32 logits (B, N, H, F, F) in HBM plus a
+softmax chain of full-size VPU passes (trace: the `attn1/sub` ops alone cost
+~22 ms/step, docs/PERF_NOTES.md round-3 profile; the reference hits the same
+structure through diffusers TransformerTemporalModel,
+`/root/reference/InferNet/neurons/miner.py:83-87`).
+
+Packing: W = floor(128/F) positions share one (R, D) tile (R = W*F rows,
+row = position-major). QK^T on the packed tile computes an (R, R) logits
+block whose useful entries are the W diagonal (F, F) blocks; an additive
+0/-inf block-diagonal bias masks the cross-position terms, softmax rows stay
+per-position-exact, and P@V yields the packed outputs — correct because the
+masked probabilities are exactly zero. W positions per MXU pass instead of 1,
+logits never leave VMEM, and the (B, F, N, H*D) activation layout is consumed
+natively (no HBM transposes). Heads are sliced inside the kernel (static
+unroll): pallas TPU blocks must keep the full lane dimension, and head_dim
+can be non-128 (transformer_in uses D=40).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def packing_width(frames: int) -> int:
+    """Largest W with W*F <= 128 and W*F a multiple of 8 (sublane-aligned
+    group slicing); 0 if no packing exists (F > 128)."""
+    best = 0
+    for w in range(1, 128 // frames + 1 if frames <= 128 else 1):
+        if (w * frames) % 8 == 0 or w * frames == 128:
+            best = w
+    return best
+
+
+def choose_blocking(frames: int, hd: int, heads: int) -> tuple[int, int]:
+    """Pick (W, bp): packing width and positions-per-program.
+
+    TPU block legality requires bp % 8 == 0 (the position axis is the block's
+    sublane dimension), and group slicing requires bp % W == 0 — so bp must be
+    a multiple of lcm(W, 8). The largest feasible W is not always usable: at
+    F=24 the max packing W=5 forces bp into multiples of 40, which busts the
+    per-head logits VMEM bound, while W=4 admits bp=24 (this is exactly the
+    XL geometry; a W=5/bp=20 choice fails Mosaic lowering). Enumerate W
+    descending, return the first with a legal bp; (0, 0) if none.
+
+    VMEM bounds (measured, see temporal_attention): ~30 bytes/element of
+    block residency caps bp*F*HD at ~10 MB, and the statically-unrolled
+    heads' (gpp, R, R) f32 logits+probs temporaries cap gpp*R*R*8*heads at
+    ~4 MB.
+    """
+    if frames > 128:
+        return 0, 0
+    budget = max(1, (10 * 2**20) // (frames * hd * 30))
+    for w in range(128 // frames, 0, -1):
+        if (w * frames) % 8 and w * frames != 128:
+            continue
+        r = w * frames
+        head_gpp = (4 * 2**20) // (r * r * 8 * heads)
+        gpp_max = min(16, budget // w, head_gpp)
+        step = 8 // math.gcd(w, 8)  # gpp granularity making bp % 8 == 0
+        gpp = (gpp_max // step) * step
+        if gpp >= step:
+            return w, gpp * w
+    return 0, 0
+
+
+def _block_diag_bias(w: int, f: int) -> jax.Array:
+    """(R, R) f32 additive mask: 0 inside each position's (F, F) diagonal
+    block, -inf across positions. Static -> folds to a constant."""
+    r = w * f
+    idx = jnp.arange(r, dtype=jnp.int32) // f
+    return jnp.where(idx[:, None] == idx[None, :], 0.0, NEG_INF).astype(
+        jnp.float32)
+
+
+def _temporal_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float,
+                     gpp: int, r: int, n_positions: int, heads: int, d: int):
+    # refs: (1, F, bp, H*D). Repack once per tile to position-major rows and
+    # view as gpp stacked groups: (F, bp, HD) -> (bp, F, HD) -> (gpp, R, HD).
+    # Everything below is static-shaped batched math — one batched QK^T, one
+    # wide softmax, one batched PV per head — so the VPU runs few big passes
+    # instead of a fori of small ones (the fori schedule measured ~2.5 ms per
+    # level-0 instance; batching targets the softmax fixed costs).
+    f, bp = q_ref.shape[1], q_ref.shape[2]
+    hd = q_ref.shape[3]
+    qt = jnp.swapaxes(q_ref[0], 0, 1).reshape(gpp, r, hd)
+    kt = jnp.swapaxes(k_ref[0], 0, 1).reshape(gpp, r, hd)
+    vt = jnp.swapaxes(v_ref[0], 0, 1).reshape(gpp, r, hd)
+    if n_positions % bp:
+        # ragged position tail: out-of-bounds K/V rows hold unspecified bits
+        # (NaN poisons even 0-weighted PV products) — zero them. Q rows need
+        # no mask: their outputs are discarded on the masked write-back.
+        row = jax.lax.broadcasted_iota(jnp.int32, (gpp, r, 1), 0) * r \
+            + jax.lax.broadcasted_iota(jnp.int32, (gpp, r, 1), 1)
+        pos = row // f + pl.program_id(1) * bp
+        valid = pos < n_positions
+        kt = jnp.where(valid, kt, 0)
+        vt = jnp.where(valid, vt, 0)
+    bias = bias_ref[...][None, :, :]  # (1, R, R)
+
+    outs = []
+    for h in range(heads):  # static unroll: lane slice offsets stay static
+        qh = qt[:, :, h * d:(h + 1) * d]
+        kh = kt[:, :, h * d:(h + 1) * d]
+        vh = vt[:, :, h * d:(h + 1) * d]
+        s = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        s = s * scale + bias                      # (gpp, R, R)
+        m = jnp.max(s, axis=2, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=2, keepdims=True)
+        og = jax.lax.dot_general(p.astype(vh.dtype), vh,
+                                 (((2,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        outs.append(og / l)                       # divide on (gpp, R, d)
+    o = jnp.concatenate(outs, axis=-1).reshape(bp, f, hd)
+    o_ref[0] = jnp.swapaxes(o, 0, 1).astype(o_ref.dtype)
+
+
+def temporal_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
+                       heads: int, scale: float | None = None,
+                       block_positions: int | None = None,
+                       interpret: bool = False) -> jax.Array:
+    """Frame-axis self-attention, native layout.
+
+    q/k/v: (B, F, N, heads*D) — attention over F independently per
+    (batch, spatial position, head). Returns (B, F, N, heads*D) in q.dtype.
+    Requires packing_width(F) > 0 (F <= 128).
+    """
+    b, f, n, hd = q.shape
+    d = hd // heads
+    if scale is None:
+        scale = d**-0.5
+    w, bp_auto = choose_blocking(f, hd, heads)
+    if w == 0:
+        raise ValueError(f"no legal MXU packing for F={f}, HD={hd}, "
+                         f"heads={heads}")
+    r = w * f
+    if block_positions is not None:
+        bp = block_positions
+    else:
+        # don't exceed n by more than one alignment unit (tiny-n test shapes)
+        align = (8 // math.gcd(w, 8)) * w
+        bp = min(bp_auto, max(align, pl.cdiv(n, align) * align))
+    gpp = bp // w
+    grid = (b, pl.cdiv(n, bp))
+
+    bias = _block_diag_bias(w, f)
+    kernel = functools.partial(_temporal_kernel, scale=float(scale), gpp=gpp,
+                               r=r, n_positions=n, heads=heads, d=d)
+    interpret = interpret or jax.default_backend() != "tpu"
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, f, bp, hd), lambda ib, ip: (ib, 0, ip, 0)),
+            pl.BlockSpec((1, f, bp, hd), lambda ib, ip: (ib, 0, ip, 0)),
+            pl.BlockSpec((1, f, bp, hd), lambda ib, ip: (ib, 0, ip, 0)),
+            pl.BlockSpec((r, r), lambda ib, ip: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, f, bp, hd), lambda ib, ip: (ib, 0, ip, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, f, n, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=interpret,
+    )(q, k, v, bias)
+
+
+def temporal_attention_reference(q, k, v, *, heads, scale=None):
+    """The einsum path of layers._FrameAxisAttention (bit-reference)."""
+    b, f, n, hd = q.shape
+    d = hd // heads
+    if scale is None:
+        scale = d**-0.5
+    qh = q.reshape(b, f, n, heads, d)
+    kh = k.reshape(b, f, n, heads, d)
+    vh = v.reshape(b, f, n, heads, d)
+    logits = jnp.einsum("bfnhd,bgnhd->bnhfg", qh, kh,
+                        preferred_element_type=jnp.float32) * scale
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    o = jnp.einsum("bnhfg,bgnhd->bfnhd", probs, vh,
+                   preferred_element_type=jnp.float32)
+    return o.astype(q.dtype).reshape(b, f, n, hd)
