@@ -47,8 +47,12 @@ NUM_STEPS = 25
 
 XL_FRAMES, XL_HEIGHT, XL_WIDTH, XL_STEPS = 24, 576, 1024, 50
 
-STANDARD_TIMEOUT_S = 2400   # compile variance: 200-990 s observed run-to-run
-XL_TIMEOUT_S = 2400
+# Timeouts are hang-guards, not budgets: a cold param cache on a 1-CPU host
+# costs ~23 min of init alone before the 3 remote compiles (200-990 s each
+# observed). 2400 s killed the standard phase mid-verify on such a host;
+# phases checkpoint rows incrementally so a generous guard loses nothing.
+STANDARD_TIMEOUT_S = 7200
+XL_TIMEOUT_S = 7200
 
 
 def _update_state(path: str, updates: dict) -> None:
