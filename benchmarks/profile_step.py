@@ -47,12 +47,25 @@ def aggregate_trace(trace_dir: str) -> dict:
         dur = e.get("dur", 0) / 1e6  # us -> s
         name = e.get("name", "")
         low = name.lower()
-        if "conv" in low:
+        # order matters: 'convert_reduce_fusion' is a conv+norm-stats MEGA
+        # fusion (hlo_category 'convolution fusion'), not a bare convert —
+        # and module-scoped custom-call names (attn1.*, ff.*) must not fall
+        # into 'other' (round-3b fix: the old 'conv in name' test also
+        # swallowed every convert_* op).
+        if "jit_step" in low or "jit(" in low:
+            b = "trace-parent"   # parent span; excluding avoids double count
+        elif "attn" in low or "flash" in low:
+            b = "attention(custom)"
+        elif low.startswith("ff") or "geglu" in low:
+            b = "ff(custom)"
+        elif "custom" in low or "pallas" in low:
+            b = "pallas/custom"
+        elif "convert_reduce" in low:
+            b = "conv+norm-stats fusion"
+        elif "convolution" in low or low.startswith("conv"):
             b = "conv"
         elif "dot" in low or "matmul" in low or "gemm" in low:
             b = "matmul"
-        elif "custom" in low or "pallas" in low or "flash" in low:
-            b = "pallas/custom"
         elif "fusion" in low or "multiply" in low or "add" in low or "loop" in low:
             b = "fusion/elementwise"
         elif "copy" in low or "transpose" in low or "reshape" in low or "bitcast" in low:
@@ -61,6 +74,8 @@ def aggregate_trace(trace_dir: str) -> dict:
             b = "collective"
         else:
             b = "other"
+        if b == "trace-parent":
+            continue
         buckets[b] += dur
         op_times[name[:80]] += dur
         total += dur

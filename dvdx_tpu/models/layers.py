@@ -374,6 +374,12 @@ class _FrameAxisAttention(nn.Module):
     head_dim: int
     out_dim: int
     dtype: jnp.dtype = jnp.float32
+    # position-major mode: x arrives as (B, N, F, C) — the parent hoisted ONE
+    # HBM relayout per temporal module so the kernel's packed-row regroup is
+    # a free view (the frame-major kernel's per-program in-VMEM swapaxes ran
+    # 5-7x above the HBM floor at XL; docs/PERF_NOTES.md round-3b profile).
+    # Never combined with ring/cp execution (the parent checks ring_active).
+    posmajor: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -382,11 +388,19 @@ class _FrameAxisAttention(nn.Module):
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
         k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(x)
         v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(x)
+        if self.posmajor:
+            from ..ops.pallas.temporal_attention import \
+                temporal_attention_posmajor
+
+            # here (b, f, n) unpacked above are really (b, n, f)
+            o = temporal_attention_posmajor(q, k, v, heads=self.num_heads)
+            return nn.Dense(self.out_dim, dtype=self.dtype, name="to_out")(o)
         if not ring_active():
             from ..ops.pallas.temporal_attention import (choose_blocking,
                                                          temporal_attention)
 
-            if (_kernel_impl("DVDX_TEMPORAL_ATTN_IMPL") == "pallas"
+            if (_kernel_impl("DVDX_TEMPORAL_ATTN_IMPL") in ("pallas",
+                                                            "pallas_fm")
                     and choose_blocking(f, inner, self.num_heads)[0] > 0
                     and self.head_dim <= 128 and n >= 64):
                 # packed block-diagonal MXU kernel, native (B, F, N, H*D)
@@ -433,15 +447,18 @@ class _TemporalBlock(nn.Module):
     head_dim: int
     dtype: jnp.dtype = jnp.float32
     eps: float = 1e-5
+    posmajor: bool = False   # x is (B, N, F, C); LN/FF are last-axis anyway
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         h = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="norm1")(x)
         x = x + _FrameAxisAttention(self.num_heads, self.head_dim, self.dim,
-                                    dtype=self.dtype, name="attn1")(h)
+                                    dtype=self.dtype, posmajor=self.posmajor,
+                                    name="attn1")(h)
         h = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="norm2")(x)
         x = x + _FrameAxisAttention(self.num_heads, self.head_dim, self.dim,
-                                    dtype=self.dtype, name="attn2")(h)
+                                    dtype=self.dtype, posmajor=self.posmajor,
+                                    name="attn2")(h)
         h = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="norm3")(x)
         x = x + GEGLUFeedForward(self.dim, dtype=self.dtype, name="ff")(h)
         return x
@@ -480,17 +497,39 @@ class TransformerTemporal(nn.Module):
         # per channel group == diffusers' norm of (B, C, F, H, W)
         h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6,
                          dtype=self.dtype, name="norm")(x)
-        # native-layout path: (B, F, N, C) with frame-axis einsum attention —
-        # zero transposes (the naive (B*H*W, F, C) relayout cost ~14% of the
-        # step; see docs/PERF_NOTES.md). Same math, same param names.
+        # native-layout path: (B, F, N, C) with frame-axis attention — zero
+        # per-op transposes (the naive (B*H*W, F, C) relayout cost ~14% of
+        # the step; see docs/PERF_NOTES.md). Same math, same param names.
         h = h.reshape(b, f, hh * ww, c)
+        # position-major hoist: ONE XLA relayout here (and one back) lets the
+        # packed temporal-attention kernel consume (B, N, F, HD) blocks whose
+        # packed-row regroup is a free view — removing the per-program VMEM
+        # swapaxes that kept the frame-major kernel 5-7x above its HBM floor
+        # (round-3b XL profile). LN/Dense/GEGLU between the transposes are
+        # last-axis ops, so the whole block runs position-major.
+        pm = self._use_posmajor(f, hh * ww)
+        if pm:
+            h = jnp.swapaxes(h, 1, 2)
         h = nn.Dense(c, dtype=self.dtype, name="proj_in")(h)
         h = _TemporalBlock(c, self.num_heads, self.head_dim,
-                           dtype=self.dtype, name="block0")(h)
+                           dtype=self.dtype, posmajor=pm, name="block0")(h)
         h = nn.Dense(c, dtype=self.dtype, kernel_init=nn.initializers.zeros,
                      name="proj_out_zero")(h)
+        if pm:
+            h = jnp.swapaxes(h, 1, 2)
         h = h.reshape(b, f, hh, ww, c)
         return residual + h
+
+    def _use_posmajor(self, f: int, n: int) -> bool:
+        if ring_active() or self.head_dim > 128 or n < 64:
+            return False
+        if _kernel_impl("DVDX_TEMPORAL_ATTN_IMPL") not in ("pallas",
+                                                           "posmajor"):
+            return False   # 'pallas_fm' / 'xla' keep the frame-major paths
+        from ..ops.pallas.temporal_attention import choose_blocking_posmajor
+
+        return choose_blocking_posmajor(
+            f, self.num_heads * self.head_dim, self.num_heads)[0] > 0
 
 
 class Downsample2D(nn.Module):

@@ -77,6 +77,33 @@ def choose_blocking(frames: int, hd: int, heads: int) -> tuple[int, int]:
     return 0, 0
 
 
+def choose_blocking_posmajor(frames: int, hd: int, heads: int
+                             ) -> tuple[int, int]:
+    """Blocking for the position-major kernel (q/k/v in (B, N, F, HD)).
+
+    With positions as an UNTILED leading block dim, the Mosaic constraints
+    move: F is the sublane dim (needs F % 8 == 0), bp only needs bp % W == 0
+    (the (bp, F, HD) -> (gpp, R, HD) regroup must split evenly), and W is
+    simply floor(128/F) — the W=5 packing that was sublane-illegal in the
+    frame-major layout at F=24 becomes usable (R=120).
+
+    VMEM budget: 4 io blocks of bp*F*HD bf16 (double-buffered by the
+    pipeline, so keep them ~5 MB total) + ~3 f32 head temporaries of
+    (gpp, R, R) (~4 MB). Returns (W, bp), or (0, 0) when F is not
+    sublane-aligned or the budgets admit no group.
+    """
+    if frames > 128 or frames % 8:
+        return 0, 0
+    w = 128 // frames
+    r = w * frames
+    bp_io = (5 * 2**20) // (4 * frames * hd * 2)
+    gpp_head = (4 * 2**20) // (12 * r * r)
+    gpp = min(bp_io // w, gpp_head, 32)
+    if gpp < 1:
+        return 0, 0
+    return w, gpp * w
+
+
 def _block_diag_bias(w: int, f: int) -> jax.Array:
     """(R, R) f32 additive mask: 0 inside each position's (F, F) diagonal
     block, -inf across positions. Static -> folds to a constant."""
@@ -84,6 +111,104 @@ def _block_diag_bias(w: int, f: int) -> jax.Array:
     idx = jnp.arange(r, dtype=jnp.int32) // f
     return jnp.where(idx[:, None] == idx[None, :], 0.0, NEG_INF).astype(
         jnp.float32)
+
+
+def _packed_heads_attend(qt, kt, vt, bias, *, scale: float, heads: int,
+                         d: int):
+    """Shared packed-attention body: qt/kt/vt are (gpp, R, heads*d) with
+    position-major rows; returns (gpp, R, heads*d) f32. Heads are sliced in
+    a static unroll (lane offsets stay static; head_dim can be non-128)."""
+    outs = []
+    for h in range(heads):
+        qh = qt[:, :, h * d:(h + 1) * d]
+        kh = kt[:, :, h * d:(h + 1) * d]
+        vh = vt[:, :, h * d:(h + 1) * d]
+        s = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        s = s * scale + bias                      # (gpp, R, R)
+        m = jnp.max(s, axis=2, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=2, keepdims=True)
+        og = jax.lax.dot_general(p.astype(vh.dtype), vh,
+                                 (((2,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        outs.append(og / l)                       # divide on (gpp, R, d)
+    return jnp.concatenate(outs, axis=-1)
+
+
+def _temporal_kernel_pm(q_ref, k_ref, v_ref, bias_ref, o_ref, *,
+                        scale: float, gpp: int, r: int, n_positions: int,
+                        heads: int, d: int):
+    # refs: (1, bp, F, HD), POSITION-major. The (bp, F, HD) -> (gpp, R, HD)
+    # regroup is a pure view (bp = gpp*W, row = w*F + f is exactly the
+    # packed-row order), so this kernel runs zero in-VMEM shuffles — the
+    # frame-major variant's per-program swapaxes repacks dominated its
+    # runtime (XL profile: 5-7x above the HBM floor; docs/PERF_NOTES.md).
+    bp, f, hd = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
+    w = bp // gpp
+    qt = q_ref[0].reshape(gpp, r, hd)
+    kt = k_ref[0].reshape(gpp, r, hd)
+    vt = v_ref[0].reshape(gpp, r, hd)
+    if n_positions % bp:
+        # ragged position tail: zero out-of-range K/V rows (unspecified bits
+        # would poison the 0-weighted PV products via NaN); Q rows need no
+        # mask — their outputs are discarded by the clipped write-back.
+        g = jax.lax.broadcasted_iota(jnp.int32, (gpp, r, 1), 0)
+        j = jax.lax.broadcasted_iota(jnp.int32, (gpp, r, 1), 1)
+        pos = pl.program_id(1) * bp + g * w + j // f
+        valid = pos < n_positions
+        kt = jnp.where(valid, kt, 0)
+        vt = jnp.where(valid, vt, 0)
+    bias = bias_ref[...][None, :, :]  # (1, R, R)
+    o = _packed_heads_attend(qt, kt, vt, bias, scale=scale, heads=heads, d=d)
+    o_ref[0] = o.reshape(bp, f, hd).astype(o_ref.dtype)
+
+
+def temporal_attention_posmajor(q: jax.Array, k: jax.Array, v: jax.Array, *,
+                                heads: int, scale: float | None = None,
+                                block_positions: int | None = None,
+                                interpret: bool = False) -> jax.Array:
+    """Frame-axis self-attention on POSITION-major inputs.
+
+    q/k/v: (B, N, F, heads*D) — attention over F independently per
+    (batch, position, head). Returns (B, N, F, heads*D) in q.dtype. The
+    caller pays one HBM relayout per temporal module to feed this layout
+    (layers.TransformerTemporal); in exchange the kernel's packed-row
+    regroup is free and W = floor(128/F) packings that were sublane-illegal
+    frame-major become usable (F=24 -> W=5/R=120 vs W=4/R=96)."""
+    b, n, f, hd = q.shape
+    d = hd // heads
+    if scale is None:
+        scale = d**-0.5
+    w, bp_auto = choose_blocking_posmajor(f, hd, heads)
+    if w == 0:
+        raise ValueError(f"no position-major packing for F={f} (need F%8==0)")
+    r = w * f
+    if block_positions is not None:
+        bp = block_positions
+    else:
+        bp = min(bp_auto, pl.cdiv(n, w) * w)  # don't exceed n by > one group
+    gpp = bp // w
+    grid = (b, pl.cdiv(n, bp))
+    bias = _block_diag_bias(w, f)
+    kernel = functools.partial(_temporal_kernel_pm, scale=float(scale),
+                               gpp=gpp, r=r, n_positions=n, heads=heads, d=d)
+    interpret = interpret or jax.default_backend() != "tpu"
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bp, f, hd), lambda ib, ip: (ib, ip, 0, 0)),
+            pl.BlockSpec((1, bp, f, hd), lambda ib, ip: (ib, ip, 0, 0)),
+            pl.BlockSpec((1, bp, f, hd), lambda ib, ip: (ib, ip, 0, 0)),
+            pl.BlockSpec((r, r), lambda ib, ip: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bp, f, hd), lambda ib, ip: (ib, ip, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, f, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=interpret,
+    )(q, k, v, bias)
 
 
 def _temporal_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float,
@@ -110,23 +235,8 @@ def _temporal_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float,
         kt = jnp.where(valid, kt, 0)
         vt = jnp.where(valid, vt, 0)
     bias = bias_ref[...][None, :, :]  # (1, R, R)
-
-    outs = []
-    for h in range(heads):  # static unroll: lane slice offsets stay static
-        qh = qt[:, :, h * d:(h + 1) * d]
-        kh = kt[:, :, h * d:(h + 1) * d]
-        vh = vt[:, :, h * d:(h + 1) * d]
-        s = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
-                                preferred_element_type=jnp.float32)
-        s = s * scale + bias                      # (gpp, R, R)
-        m = jnp.max(s, axis=2, keepdims=True)
-        p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=2, keepdims=True)
-        og = jax.lax.dot_general(p.astype(vh.dtype), vh,
-                                 (((2,), (1,)), ((0,), (0,))),
-                                 preferred_element_type=jnp.float32)
-        outs.append(og / l)                       # divide on (gpp, R, d)
-    o = jnp.concatenate(outs, axis=-1).reshape(bp, f, hd)
+    o = _packed_heads_attend(qt, kt, vt, bias, scale=scale, heads=heads, d=d)
+    o = o.reshape(bp, f, hd)
     o_ref[0] = jnp.swapaxes(o, 0, 1).astype(o_ref.dtype)
 
 
@@ -177,6 +287,15 @@ def temporal_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
             dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
     )(q, k, v, bias)
+
+
+def temporal_attention_posmajor_reference(q, k, v, *, heads, scale=None):
+    """Reference for the position-major layout: transpose to frame-major,
+    run the einsum reference, transpose back (same math, same dtypes)."""
+    out = temporal_attention_reference(
+        jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2),
+        heads=heads, scale=scale)
+    return jnp.swapaxes(out, 1, 2)
 
 
 def temporal_attention_reference(q, k, v, *, heads, scale=None):

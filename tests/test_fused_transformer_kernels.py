@@ -156,3 +156,93 @@ def test_temporal_layer_paths_agree(monkeypatch):
     assert sorted(_tree_paths(params_xla)) == sorted(_tree_paths(params_pl))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-4, rtol=2e-4)
+
+
+# --- position-major variant (round 3b): the packed-row regroup is a free
+# view, removing the in-VMEM swapaxes that kept the frame-major kernel 5-7x
+# above its HBM floor at XL (docs/PERF_NOTES.md) -----------------------------
+
+
+@pytest.mark.parametrize("f,hd,heads", [
+    (16, 320, 8), (16, 640, 8), (16, 1280, 8),
+    (24, 320, 8), (24, 640, 8), (24, 1280, 8),   # XL: W=5/R=120 now legal
+    (8, 512, 8), (16, 512, 8), (24, 320, 1),
+])
+def test_choose_blocking_posmajor_legal(f, hd, heads):
+    from dvdx_tpu.ops.pallas.temporal_attention import choose_blocking_posmajor
+
+    w, bp = choose_blocking_posmajor(f, hd, heads)
+    assert w == 128 // f and bp % w == 0
+    r = w * f
+    assert r <= 128 and f % 8 == 0
+    # io blocks (4x, double-buffered) and per-head f32 temporaries budgets
+    assert 4 * bp * f * hd * 2 <= 6 * 2**20
+    assert (bp // w) * r * r * 12 <= 4 * 2**20
+
+
+def test_choose_blocking_posmajor_rejects_unaligned_frames():
+    from dvdx_tpu.ops.pallas.temporal_attention import choose_blocking_posmajor
+
+    assert choose_blocking_posmajor(12, 384, 6) == (0, 0)   # F % 8 != 0
+    assert choose_blocking_posmajor(130, 320, 8) == (0, 0)  # F > 128
+
+
+@pytest.mark.parametrize("b,f,n,h,d", [
+    (1, 16, 64, 2, 64),
+    (2, 16, 96, 1, 32),
+    (1, 24, 40, 2, 64),    # XL frame count, tiny/ragged n
+    (1, 16, 50, 1, 64),    # n not a multiple of the position block
+    (1, 8, 200, 2, 40),    # transformer_in head_dim=40, ragged tail
+])
+def test_temporal_attention_posmajor_matches_reference(b, f, n, h, d):
+    from dvdx_tpu.ops.pallas.temporal_attention import (
+        temporal_attention_posmajor, temporal_attention_posmajor_reference)
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(b, n, f, h * d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, n, f, h * d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, n, f, h * d)).astype(np.float32))
+    ref = temporal_attention_posmajor_reference(q, k, v, heads=h)
+    out = temporal_attention_posmajor(q, k, v, heads=h, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_posmajor_equals_framemajor_kernel():
+    """Both kernels compute the same packed attention — feeding the same
+    logical tensor through either layout must agree."""
+    from dvdx_tpu.ops.pallas.temporal_attention import (
+        temporal_attention, temporal_attention_posmajor)
+
+    rng = np.random.default_rng(2)
+    b, f, n, h, d = 1, 16, 72, 2, 64
+    q = jnp.asarray(rng.normal(size=(b, f, n, h * d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, f, n, h * d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, f, n, h * d)).astype(np.float32))
+    fm = temporal_attention(q, k, v, heads=h, interpret=True)
+    pm = temporal_attention_posmajor(jnp.swapaxes(q, 1, 2),
+                                     jnp.swapaxes(k, 1, 2),
+                                     jnp.swapaxes(v, 1, 2),
+                                     heads=h, interpret=True)
+    np.testing.assert_allclose(np.asarray(jnp.swapaxes(pm, 1, 2)),
+                               np.asarray(fm), atol=1e-5, rtol=1e-5)
+
+
+def test_transformer_temporal_module_posmajor_equivalence(monkeypatch):
+    """The full TransformerTemporal module (GN -> hoisted relayout ->
+    proj_in -> attn1/attn2/FF -> proj_out -> relayout back) must match the
+    default einsum program — same params, same inputs."""
+    import jax
+
+    from dvdx_tpu.models.layers import TransformerTemporal
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 8, 64)).astype(np.float32))
+    mod = TransformerTemporal(num_heads=2, head_dim=32)
+    monkeypatch.setenv("DVDX_TEMPORAL_ATTN_IMPL", "xla")
+    params = mod.init(jax.random.PRNGKey(0), x)
+    ref = mod.apply(params, x)
+    monkeypatch.setenv("DVDX_TEMPORAL_ATTN_IMPL", "posmajor")
+    out = mod.apply(params, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
