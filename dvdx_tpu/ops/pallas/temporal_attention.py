@@ -87,18 +87,20 @@ def choose_blocking_posmajor(frames: int, hd: int, heads: int
     simply floor(128/F) — the W=5 packing that was sublane-illegal in the
     frame-major layout at F=24 becomes usable (R=120).
 
-    VMEM budget: 4 io blocks of bp*F*HD bf16 (double-buffered by the
-    pipeline, so keep them ~5 MB total) + ~3 f32 head temporaries of
-    (gpp, R, R) (~4 MB). Returns (W, bp), or (0, 0) when F is not
-    sublane-aligned or the budgets admit no group.
+    VMEM: Mosaic's scoped limit is 16 MB and the compiler reports the real
+    stack demand, so the budget uses the MEASURED constant, not an op
+    inventory: the first cut (gpp=16/24 at HD=320) was reported at 29.8/29.9
+    MB on the stack, i.e. ~46 bytes per packed element W*F*HD per group
+    (double-buffered io blocks, materialised regroup views, masked K/V
+    copies, f32 logits+probs, unrolled head outputs). Budget 9 MB for
+    headroom. Returns (W, bp), or (0, 0) when F is not sublane-aligned or
+    no group fits.
     """
     if frames > 128 or frames % 8:
         return 0, 0
     w = 128 // frames
-    r = w * frames
-    bp_io = (5 * 2**20) // (4 * frames * hd * 2)
-    gpp_head = (4 * 2**20) // (12 * r * r)
-    gpp = min(bp_io // w, gpp_head, 32)
+    per_group = w * frames * hd * 46
+    gpp = min((9 * 2**20) // per_group, 32)
     if gpp < 1:
         return 0, 0
     return w, gpp * w
@@ -113,11 +115,15 @@ def _block_diag_bias(w: int, f: int) -> jax.Array:
         jnp.float32)
 
 
-def _packed_heads_attend(qt, kt, vt, bias, *, scale: float, heads: int,
-                         d: int):
+def _packed_heads_attend(qt, kt, vt, bias, out_dtype, *, scale: float,
+                         heads: int, d: int):
     """Shared packed-attention body: qt/kt/vt are (gpp, R, heads*d) with
-    position-major rows; returns (gpp, R, heads*d) f32. Heads are sliced in
-    a static unroll (lane offsets stay static; head_dim can be non-128)."""
+    position-major rows; returns (gpp, R, heads*d) in out_dtype. Heads are
+    sliced in a static unroll (lane offsets stay static; head_dim can be
+    non-128). Each head's output is cast to out_dtype BEFORE the concat —
+    elementwise, so numerically identical to casting after, but it halves
+    the statically-live unrolled temporaries (the posmajor VMEM model
+    counts on this)."""
     outs = []
     for h in range(heads):
         qh = qt[:, :, h * d:(h + 1) * d]
@@ -132,7 +138,7 @@ def _packed_heads_attend(qt, kt, vt, bias, *, scale: float, heads: int,
         og = jax.lax.dot_general(p.astype(vh.dtype), vh,
                                  (((2,), (1,)), ((0,), (0,))),
                                  preferred_element_type=jnp.float32)
-        outs.append(og / l)                       # divide on (gpp, R, d)
+        outs.append((og / l).astype(out_dtype))   # divide on (gpp, R, d)
     return jnp.concatenate(outs, axis=-1)
 
 
@@ -160,8 +166,9 @@ def _temporal_kernel_pm(q_ref, k_ref, v_ref, bias_ref, o_ref, *,
         kt = jnp.where(valid, kt, 0)
         vt = jnp.where(valid, vt, 0)
     bias = bias_ref[...][None, :, :]  # (1, R, R)
-    o = _packed_heads_attend(qt, kt, vt, bias, scale=scale, heads=heads, d=d)
-    o_ref[0] = o.reshape(bp, f, hd).astype(o_ref.dtype)
+    o = _packed_heads_attend(qt, kt, vt, bias, o_ref.dtype, scale=scale,
+                             heads=heads, d=d)
+    o_ref[0] = o.reshape(bp, f, hd)
 
 
 def temporal_attention_posmajor(q: jax.Array, k: jax.Array, v: jax.Array, *,
@@ -188,6 +195,13 @@ def temporal_attention_posmajor(q: jax.Array, k: jax.Array, v: jax.Array, *,
         bp = block_positions
     else:
         bp = min(bp_auto, pl.cdiv(n, w) * w)  # don't exceed n by > one group
+        # prefer a bp that divides n: compiles out the ragged-tail K/V mask
+        # (and its in-VMEM masked copies) entirely, pad-free-flash style —
+        # but never at the cost of halving the block
+        for cand in range(bp, max(w, bp // 2) - 1, -w):
+            if n % cand == 0:
+                bp = cand
+                break
     gpp = bp // w
     grid = (b, pl.cdiv(n, bp))
     bias = _block_diag_bias(w, f)
@@ -235,9 +249,10 @@ def _temporal_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float,
         kt = jnp.where(valid, kt, 0)
         vt = jnp.where(valid, vt, 0)
     bias = bias_ref[...][None, :, :]  # (1, R, R)
-    o = _packed_heads_attend(qt, kt, vt, bias, scale=scale, heads=heads, d=d)
+    o = _packed_heads_attend(qt, kt, vt, bias, o_ref.dtype, scale=scale,
+                             heads=heads, d=d)
     o = o.reshape(bp, f, hd)
-    o_ref[0] = jnp.swapaxes(o, 0, 1).astype(o_ref.dtype)
+    o_ref[0] = jnp.swapaxes(o, 0, 1)
 
 
 def temporal_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
