@@ -163,13 +163,14 @@ class Miner(Neuron):
             raise ValueError("request exceeds miner limits")
 
         t0 = time.time()
-        frames_f32, zs, epss, timesteps = self.engine.generate_recorded(
+        # video arrives uint8 straight from the device program (the f32 ->
+        # uint8 conversion runs on-device; 4x fewer bytes over the fetch)
+        video, zs, epss, timesteps = self.engine.generate_recorded(
             req.prompt, negative_prompt=req.negative_prompt, seed=req.seed,
             num_frames=req.num_frames, height=req.height, width=req.width,
             num_steps=req.num_steps, guidance_scale=req.guidance_scale,
             cfg_split=req.cfg_split,
         )
-        video = ((frames_f32 + 1.0) * 127.5).clip(0, 255).astype(np.uint8)
         gen_s = time.time() - t0
         self.metrics["total_gen_s"] += gen_s
 
