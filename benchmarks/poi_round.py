@@ -76,6 +76,8 @@ def main(argv=None):
         "video_binding_err": d.get("video_binding_err"),
         "checks": {k: v for k, v in d["checks"].items()},
         "video_bytes": d.get("video_bytes"),
+        "verify_phase_s": d.get("timings_s", {}),
+        "miner_phase_s": d.get("miner_timings_s", {}),
     }))
 
 

@@ -175,10 +175,14 @@ class Miner(Neuron):
         self.metrics["total_gen_s"] += gen_s
 
         # leaves hash the raw bf16 bytes of (z_t, eps_t) per step
+        t1 = time.perf_counter()
         commitment = MerkleCommitment(timesteps, zs, epss)
         self._store_proof(req.request_id, commitment)
+        commit_s = time.perf_counter() - t1
 
+        t1 = time.perf_counter()
         mp4 = encode_mp4(video, fps=req.fps or cfg.fps_default)
+        encode_s = time.perf_counter() - t1
         signature = sign_proof(self.keypair, req.challenge, req.seed, mp4,
                                commitment.root)
 
@@ -199,6 +203,9 @@ class Miner(Neuron):
             latent_dtype=str(zs.dtype),
             platform=jax.default_backend(),
             gen_time_s=gen_s,
+            timings={"generate": round(gen_s, 4),
+                     "merkle_commit": round(commit_s, 4),
+                     "encode_mp4": round(encode_s, 4)},
         )
 
     def _spool_path(self, request_id: str) -> Optional[str]:

@@ -165,6 +165,10 @@ class InferenceResponse:
     latent_dtype: str = "bfloat16"
     platform: str = ""            # backend tag: exact re-exec requires equality
     gen_time_s: float = 0.0
+    # advisory miner-side phase breakdown (generate/commit/encode seconds);
+    # unsigned and untrusted — used only for observability in round reports
+    # (the reference logs the same phases, miner.py:514,588-610)
+    timings: Dict[str, float] = dataclasses.field(default_factory=dict)
 
 
 @_message

@@ -342,12 +342,23 @@ class Validator(Neuron):
     def _account(self, info) -> str:
         return f"miner-{info.uid}" if info else "miner-?"
 
+    @staticmethod
+    def _mark(d: dict, name: str, t0: float) -> float:
+        """Accumulate a per-phase verify-wall timing into d['timings_s'] and
+        return a fresh t0. The reference logs phase timers around its checks
+        the same way (`neurons/validator.py:514,588-610`); poi_round and the
+        round report read these to attribute where the verify cost sits
+        (re-execution vs scoring vs reveal transfer vs decode)."""
+        d["timings_s"][name] = round(
+            d["timings_s"].get(name, 0.0) + (time.perf_counter() - t0), 4)
+        return time.perf_counter()
+
     # -- response verification --
 
     async def verify_response(self, uid: int, req: P.InferenceRequest,
                               resp: P.InferenceResponse) -> dict:
         cfg = self.config
-        d: dict = {"score": 0.0, "checks": {}}
+        d: dict = {"score": 0.0, "checks": {}, "timings_s": {}}
 
         def fail(name, cheat=False, **extra):
             d["checks"][name] = False
@@ -391,13 +402,16 @@ class Validator(Neuron):
         d["signature"] = resp.signature.hex()
 
         # 5. decode + authenticity (scoring.py:13-67)
+        t0 = time.perf_counter()
         try:
             frames = decode_video(resp.video)
         except Exception as e:
             return fail("video_decode", error=str(e))
+        t0 = self._mark(d, "video_decode", t0)
         auth = verify_video_authenticity(
             frames, min_entropy=cfg.auth_min_entropy,
             min_diff=cfg.auth_min_frame_diff)
+        self._mark(d, "authenticity", t0)
         d["authenticity"] = auth
         if not auth["authentic"]:
             return fail("authenticity", cheat=True)
@@ -412,13 +426,18 @@ class Validator(Neuron):
             if not ok:
                 return d  # fail() already populated by _spot_check
 
-        # 7. quality score (MD-VQS)
-        q = self.scorer.score(frames, req.prompt)
+        # 7. quality score (MD-VQS) — reuse the step-5 authenticity result
+        t0 = time.perf_counter()
+        q = self.scorer.score(frames, req.prompt, auth=auth)
+        self._mark(d, "mdvqs_score", t0)
         d["mdvqs"] = q
         d["score"] = q["score"] * float(self.registry.get(uid).trust)
         d["frames_shape"] = list(frames.shape)
         d["video_bytes"] = len(resp.video)
         d["gen_time_s"] = resp.gen_time_s
+        if resp.timings:  # advisory, untrusted (observability only)
+            d["miner_timings_s"] = {str(k): float(v)
+                                    for k, v in resp.timings.items()}
         return d
 
     async def _spot_check(self, uid: int, req: P.InferenceRequest,
@@ -467,6 +486,7 @@ class Validator(Neuron):
                                      validator_pubkey=self.pubkey,
                                      issued_at=time.time())
         reveal_req.signature = self.keypair.sign(P.signing_bytes(reveal_req))
+        t0 = time.perf_counter()
         reveal = None
         reveal_error = ""
         for attempt in (0, 1):  # one retry absorbs transient transport loss
@@ -501,6 +521,7 @@ class Validator(Neuron):
             # both are the reveal-abort strategy the slash exists to price in
             return fail("reveal_refused", cheat=True,
                         error=getattr(reveal, "error", "bad reply"))
+        t0 = self._mark(d, "reveal_roundtrip", t0)
 
         import ml_dtypes
 
@@ -535,6 +556,7 @@ class Validator(Neuron):
             if int(t) != int(resp.timesteps[idx]):
                 return fail("leaf_timestep", leaf=idx)
             leaves[idx] = (int(t), z, eps)
+        t0 = self._mark(d, "merkle_verify", t0)
         d["checks"]["merkle"] = True
 
         # the response's platform tag is UNTRUSTED (a miner on our platform
@@ -560,6 +582,7 @@ class Validator(Neuron):
 
         # base-noise binding: if step 0 is revealed, z_0 must equal the
         # seed-derived base latent (stronger than anything the reference has)
+        t0 = time.perf_counter()
         if 0 in leaves:
             base = self.engine.base_latent(req.seed, req.num_frames,
                                            req.height, req.width)
@@ -568,6 +591,7 @@ class Validator(Neuron):
             if not ok:
                 return fail("base_noise", err=err)
             d["checks"]["base_noise"] = True
+        t0 = self._mark(d, "base_noise", t0)
 
         # all k re-executions in ONE device launch (VERDICT r1 item 2)
         results, _ = verify_revealed_steps(
@@ -575,6 +599,7 @@ class Validator(Neuron):
             req.num_steps, req.guidance_scale,
             same_platform=same_platform, atol=cfg.atol,
             cfg_split=req.cfg_split)
+        t0 = self._mark(d, "reexecution", t0)
         self.metrics["reexec_steps"] += len(checks)
         for i in checks:
             res = results[i]
@@ -589,6 +614,7 @@ class Validator(Neuron):
         # the cached-video replay hole; the reference never ties video to
         # commitments). Frame choice is post-commit-unpredictable (ADVICE r1).
         if cfg.video_binding and frames is not None:
+            t0 = time.perf_counter()
             last = req.num_steps - 1
             bind_frames = binding_frame_indices(audit_secret, resp.merkle_root,
                                                 req.num_frames,
@@ -598,6 +624,7 @@ class Validator(Neuron):
                 frames, leaves[last], last, req.num_steps,
                 req.guidance_scale, req.prompt, req.negative_prompt,
                 frame_indices=bind_frames, max_err=cfg.binding_max_err)
+            self._mark(d, "video_binding", t0)
             d["video_binding_err"] = round(err, 4)
             if not ok_bind:
                 return fail("video_binding", err=err)

@@ -196,8 +196,13 @@ class MDVQS:
     # random-projection proxy (no weights needed)
     lpips_metric: Optional[object] = None
 
-    def score(self, frames_uint8: np.ndarray, prompt: str) -> dict:
-        auth = verify_video_authenticity(frames_uint8)
+    def score(self, frames_uint8: np.ndarray, prompt: str,
+              auth: Optional[dict] = None) -> dict:
+        # callers that already ran the authenticity gate (the validator does,
+        # before spending the spot-check) pass its result in — recomputing it
+        # costs two full passes over every decoded frame on the host
+        if auth is None:
+            auth = verify_video_authenticity(frames_uint8)
         pf = self.clip_scorer.score_video(frames_uint8, prompt)
 
         # one host-side [-1,1] conversion shared by both perceptual paths

@@ -146,7 +146,13 @@ class StepEngine:
                     return carry, (eps[0], z_prev[0])
 
                 _, (eps, z_next) = jax.lax.scan(body, None, (zs, idxs))
-                return eps, z_next
+                # flatten on device: bitwise-identical values, but the host
+                # fetch of the tiled (k, F, h, w, 4) layout pays lane-padding
+                # transfer bloat through the RPC runtime (~1.6x, measured for
+                # the miner's segment records — same trick here). The caller
+                # reshapes back on host (free view).
+                k_ = eps.shape[0]
+                return eps.reshape(k_, -1), z_next.reshape(k_, -1)
 
             self._steps[key] = (jax.jit(multi), sched)
         return self._steps[key]
@@ -261,7 +267,9 @@ class StepEngine:
         zs = jnp.stack([jnp.asarray(z) for z in z_list])
         idxs = jnp.asarray(list(step_indices), jnp.int32)
         eps, z_next = multi(params, zs, idxs, cond, uncond)
-        return np.asarray(eps), np.asarray(z_next)
+        shape = (k,) + tuple(zs.shape[1:])  # device-flattened fetch -> view
+        return (np.asarray(eps).reshape(shape),
+                np.asarray(z_next).reshape(shape))
 
     def decode_frame(self, z_frame: np.ndarray) -> np.ndarray:
         """Decode one latent frame (h, w, C) -> (H, W, 3) f32 in [-1, 1]."""
