@@ -77,6 +77,7 @@ def main(argv=None):
         "checks": {k: v for k, v in d["checks"].items()},
         "video_bytes": d.get("video_bytes"),
         "verify_phase_s": d.get("timings_s", {}),
+        "mdvqs_phase_s": d.get("mdvqs", {}).get("timings_s", {}),
         "miner_phase_s": d.get("miner_timings_s", {}),
     }))
 

@@ -80,8 +80,13 @@ class CLIPScorer:
 
             mode = self.preprocess
 
-            def score(params, frames, token_ids):
-                # frames (F, H, W, 3) f32 in [-1, 1]
+            def score(params, frames_u8, token_ids):
+                # frames (F, H, W, 3) uint8 — converted to [-1, 1] f32 ON
+                # DEVICE (identical IEEE elementwise math to the old host
+                # conversion, but the host->device transfer ships 1/4 the
+                # bytes; at XL the f32 frames are 170 MB through the RPC
+                # runtime, the uint8 ones 42 MB)
+                frames = frames_u8.astype(jnp.float32) / 127.5 - 1.0
                 f = frames.shape[0]
                 frames = jax.image.resize(frames, (f, size, size, 3), "bilinear")
                 if mode == "clip":
@@ -110,13 +115,19 @@ class CLIPScorer:
         return tokenize_batch([prompt], self.text_cfg.vocab_size,
                               self.text_cfg.max_length)
 
-    def score_video(self, frames_uint8: np.ndarray, prompt: str) -> float:
-        """frames (F, H, W, 3) uint8 -> scalar in [0, 1]."""
-        frames = jnp.asarray(frames_uint8, jnp.float32) / 127.5 - 1.0
+    @staticmethod
+    def _device_u8(frames_uint8) -> jax.Array:
+        if isinstance(frames_uint8, jax.Array):
+            return frames_uint8  # already on device (MDVQS shares one put)
+        return jnp.asarray(np.ascontiguousarray(frames_uint8))
+
+    def score_video(self, frames_uint8, prompt: str) -> float:
+        """frames (F, H, W, 3) uint8 (numpy or device array) -> [0, 1]."""
+        frames = self._device_u8(frames_uint8)
         mean, _ = self._fn()(self.params, frames, jnp.asarray(self._ids(prompt)))
         return float(mean)
 
-    def frame_scores(self, frames_uint8: np.ndarray, prompt: str) -> np.ndarray:
-        frames = jnp.asarray(frames_uint8, jnp.float32) / 127.5 - 1.0
+    def frame_scores(self, frames_uint8, prompt: str) -> np.ndarray:
+        frames = self._device_u8(frames_uint8)
         _, cos = self._fn()(self.params, frames, jnp.asarray(self._ids(prompt)))
         return np.asarray(cos)

@@ -62,6 +62,7 @@ class LPIPS:
 
     params: Any
     _jitted: Any = None
+    _consec_jitted: Any = None
 
     @classmethod
     def random(cls, seed: int = 0) -> "LPIPS":
@@ -108,6 +109,27 @@ class LPIPS:
             self._jitted = jax.jit(dist)
         return self._jitted
 
+    def _consec_fn(self):
+        if getattr(self, "_consec_jitted", None) is None:
+
+            def consec(params, frames_u8):
+                # uint8 -> [-1,1] ON DEVICE (the f32 frames are 4x the
+                # transfer bytes; at XL they're 170 MB through the RPC
+                # runtime), and features computed ONCE per frame — the
+                # pairwise distance() path re-runs the AlexNet stack on the
+                # F-2 interior frames twice (2x conv FLOPs for the same taps)
+                f = frames_u8.astype(jnp.float32) / 127.5 - 1.0
+                taps = self._features(params, f)
+                d = jnp.zeros((f.shape[0] - 1,), jnp.float32)
+                for i, x in enumerate(taps):
+                    sq = (x[:-1] - x[1:]) ** 2
+                    lin = jnp.sum(sq * params[f"lin{i}"], axis=-1)
+                    d = d + jnp.mean(lin, axis=(1, 2))
+                return jnp.mean(d)
+
+            self._consec_jitted = jax.jit(consec)
+        return self._consec_jitted
+
     def distance(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
         """a, b: (N, H, W, 3) f32 in [-1, 1] -> (N,) LPIPS distances."""
         return np.asarray(self._fn()(self.params, jnp.asarray(a), jnp.asarray(b)))
@@ -118,3 +140,14 @@ class LPIPS:
         if frames.shape[0] < 2:
             return 0.0
         return float(self.distance(frames[:-1], frames[1:]).mean())
+
+    def consecutive_mean_u8(self, frames_uint8) -> float:
+        """consecutive_mean from uint8 frames (numpy or device array): one
+        device transfer, one feature pass per frame. Same metric as
+        consecutive_mean (the u8->f32 conversion is the identical IEEE
+        elementwise op, moved on-device)."""
+        if frames_uint8.shape[0] < 2:
+            return 0.0
+        if not isinstance(frames_uint8, jax.Array):
+            frames_uint8 = jnp.asarray(np.ascontiguousarray(frames_uint8))
+        return float(self._consec_fn()(self.params, frames_uint8))

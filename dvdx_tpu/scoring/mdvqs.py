@@ -42,9 +42,19 @@ from .clip_score import CLIPScorer
 # --- authenticity -----------------------------------------------------------
 
 
+def _gray_u8(frames_uint8: np.ndarray) -> np.ndarray:
+    """uint8 channel-mean gray, computed in int32. Bit-identical to
+    `frames.mean(-1).astype(uint8)` (f64 sum/3 never crosses an integer
+    boundary for sums <= 765) but skips materialising a float64 array the
+    size of the video — at the XL geometry that pass alone is ~340 MB of
+    host traffic per call."""
+    s = frames_uint8.astype(np.int32).sum(axis=-1)
+    return (s // frames_uint8.shape[-1]).astype(np.uint8)
+
+
 def frame_entropies(frames_uint8: np.ndarray) -> np.ndarray:
     """Per-frame grayscale histogram entropy (bits)."""
-    f = frames_uint8.mean(axis=-1).astype(np.uint8)
+    f = _gray_u8(frames_uint8)
     ent = []
     for img in f:
         hist = np.bincount(img.reshape(-1), minlength=256).astype(np.float64)
@@ -74,13 +84,17 @@ def verify_video_authenticity(frames_uint8: np.ndarray,
     entropy is several bits); the entropy-VARIATION threshold matches the
     reference's fixed 0.01. Returns {authentic, entropy, entropy_std,
     mean_frame_diff, std_frame_diff}."""
-    x = frames_uint8.astype(np.float32)  # 0-255 scale
     ents = frame_entropies(frames_uint8)
-    if x.shape[0] < 2:
+    if frames_uint8.shape[0] < 2:
         diffs = np.zeros((1,), np.float32)
         authentic = False
     else:
-        diffs = np.abs(np.diff(x, axis=0)).reshape(x.shape[0] - 1, -1).mean(axis=1)
+        # |diff| on the 0-255 uint8 scale, computed in int16 (exact integer
+        # arithmetic, half the host traffic of an f32 pass — at XL the f32
+        # video is 170 MB); per-frame means in f64 are exact for integers
+        x16 = frames_uint8.astype(np.int16)
+        diffs = np.abs(np.diff(x16, axis=0)).reshape(
+            frames_uint8.shape[0] - 1, -1).mean(axis=1)
         # entropy-variation axis: the reference's 0.01 floor is calibrated
         # for cv2-decoded mp4 frames where codec noise inflates per-frame
         # entropy variation; on clean raw frames it rejects honest stable-
@@ -129,17 +143,23 @@ def perceptual_distance_pairs(frames: jax.Array) -> jax.Array:
     """Mean perceptual distance between consecutive frames.
     frames: (F, H, W, 3) f32 in [-1,1] -> scalar in [0, ~2]."""
     key = jax.random.key(12345)
-    a = frames[:-1]
-    b = frames[1:]
-    fa = _percep_features(a, key)
-    fb = _percep_features(b, key)
+    feats = _percep_features(frames, key)  # once per frame, diff the taps
     d = jnp.float32(0.0)
-    for xa, xb in zip(fa, fb):
-        d = d + jnp.mean(jnp.sum((xa - xb) ** 2, axis=-1))
+    for x in feats:
+        d = d + jnp.mean(jnp.sum((x[:-1] - x[1:]) ** 2, axis=-1))
     # unit-normalised features: E||a-b||^2 = 2 for uncorrelated frames, so
     # divide by 2*scales -> distance ~[0,1] like LPIPS (identical frames 0,
     # unrelated content ~1); without this, any real motion saturates VQ to 0
-    return d / (2.0 * len(fa))
+    return d / (2.0 * len(feats))
+
+
+@jax.jit
+def _perceptual_distance_pairs_u8(frames_u8: jax.Array) -> jax.Array:
+    """perceptual_distance_pairs fed uint8 frames: the [-1,1] conversion runs
+    on device so the host->device transfer ships 1/4 the bytes (170 -> 42 MB
+    at the XL geometry through the RPC runtime)."""
+    return perceptual_distance_pairs(
+        frames_u8.astype(jnp.float32) / 127.5 - 1.0)
 
 
 # --- optical flow temporal consistency --------------------------------------
@@ -155,13 +175,17 @@ def mean_flow_magnitude(frames_uint8: np.ndarray,
     back to native pixels."""
     if frames_uint8.shape[0] < 2:
         return 0.0
-    gray = frames_uint8.mean(axis=-1).astype(np.uint8)
+    src = frames_uint8
     scale = 1.0
-    w = gray.shape[2]
+    w = src.shape[2]
     if w > max_width:
+        # stride-slice BEFORE the gray conversion: the downscale is pixel
+        # selection, so gray(slice(x)) == slice(gray(x)) and the conversion
+        # pass shrinks with the slice (24 XL frames: 42 -> 3.5 MB)
         stride = int(np.ceil(w / max_width))
-        gray = gray[:, ::stride, ::stride]
+        src = src[:, ::stride, ::stride]
         scale = float(stride)
+    gray = _gray_u8(src)
     mags = []
     for i in range(len(gray) - 1):
         if _HAS_CV2:
@@ -201,22 +225,34 @@ class MDVQS:
         # callers that already ran the authenticity gate (the validator does,
         # before spending the spot-check) pass its result in — recomputing it
         # costs two full passes over every decoded frame on the host
+        import time as _time
+
+        timings: dict = {}
         if auth is None:
             auth = verify_video_authenticity(frames_uint8)
-        pf = self.clip_scorer.score_video(frames_uint8, prompt)
+        # ONE host->device transfer of the uint8 frames, shared by the CLIP
+        # and perceptual programs (each converts to [-1,1] on device — one
+        # quarter the transfer bytes of the old host-side f32 conversion,
+        # and no duplicate host pass over the frames)
+        t0 = _time.perf_counter()
+        frames_dev = jnp.asarray(np.ascontiguousarray(frames_uint8))
+        pf = self.clip_scorer.score_video(frames_dev, prompt)
+        timings["clip_pf"] = round(_time.perf_counter() - t0, 4)
 
-        # one host-side [-1,1] conversion shared by both perceptual paths
-        frames_f32 = frames_uint8.astype(np.float32) / 127.5 - 1.0
+        t0 = _time.perf_counter()
         if self.lpips_metric is not None:
-            lp = self.lpips_metric.consecutive_mean(frames_f32)
+            lp = self.lpips_metric.consecutive_mean_u8(frames_dev)
             metric = "lpips-alex"
         else:
-            lp = float(perceptual_distance_pairs(jnp.asarray(frames_f32))) \
+            lp = float(_perceptual_distance_pairs_u8(frames_dev)) \
                 if frames_uint8.shape[0] > 1 else 0.0
             metric = "random-projection-proxy"
         vq = float(np.clip(1.0 - lp, 0.0, 1.0))
+        timings["perceptual_vq"] = round(_time.perf_counter() - t0, 4)
 
+        t0 = _time.perf_counter()
         flow = mean_flow_magnitude(frames_uint8)
+        timings["flow_tc"] = round(_time.perf_counter() - t0, 4)
         # reference TC is the raw mean |flow| — MORE motion scores HIGHER
         # (scoring.py:311-343) but unbounded, which both breaks the [0,1]
         # score mix and pays a miner to maximise jitter. Keep the reference's
@@ -235,5 +271,6 @@ class MDVQS:
             "flow_magnitude": flow,
             "perceptual_distance": lp,
             "perceptual_metric": metric,
+            "timings_s": timings,
             **auth,
         }

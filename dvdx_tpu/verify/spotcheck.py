@@ -224,6 +224,15 @@ class StepEngine:
             seg, _ = self.segment_fn(num_steps, guidance_scale, length,
                                      cfg_split)
             z, zs_seg, eps_seg = seg(params, z, jnp.int32(start), cond, uncond)
+            # start the device->host leaf copy NOW so it overlaps the next
+            # segment's compute (dispatch is async; the np.asarray at the end
+            # then reads the already-landed host copy instead of serialising
+            # the whole ~46 MB record fetch after the final step)
+            for arr in (zs_seg, eps_seg):
+                try:
+                    arr.copy_to_host_async()
+                except Exception:
+                    pass  # backend without async host copies
             zs_dev.append(zs_seg)   # (length, F*h*w*C), flattened on device
             eps_dev.append(eps_seg)
             start += length

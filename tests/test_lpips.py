@@ -40,6 +40,20 @@ def test_lpips_distance_parity(lpips_pair):
     np.testing.assert_allclose(ours.distance(a, a), 0.0, atol=1e-7)
 
 
+def test_lpips_consecutive_u8_matches_f32_path(lpips_pair):
+    """consecutive_mean_u8 (one uint8 transfer, one feature pass per frame)
+    is the same metric as the pairwise f32 path — the on-device u8->[-1,1]
+    conversion is the identical IEEE op and the taps diff to the same pairs."""
+    _, ours = lpips_pair
+    frames_u8 = np.random.default_rng(11).integers(
+        0, 255, (5, 64, 64, 3), dtype=np.uint8)
+    frames_f32 = frames_u8.astype(np.float32) / 127.5 - 1.0
+    want = ours.consecutive_mean(frames_f32)
+    got = ours.consecutive_mean_u8(frames_u8)
+    np.testing.assert_allclose(got, want, atol=1e-6, rtol=1e-5)
+    assert ours.consecutive_mean_u8(frames_u8[:1]) == 0.0
+
+
 def test_lpips_converter_is_strict(lpips_pair):
     ref, _ = lpips_pair
     sd = {k: v.detach().float().numpy() for k, v in ref.state_dict().items()}
