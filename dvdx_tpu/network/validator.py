@@ -29,6 +29,7 @@ import secrets
 import time
 from typing import Dict, List, Optional, Tuple
 
+import jax.numpy as jnp
 import numpy as np
 
 from ..ops.scheduler import make_ddim_schedule
@@ -408,8 +409,12 @@ class Validator(Neuron):
         except Exception as e:
             return fail("video_decode", error=str(e))
         t0 = self._mark(d, "video_decode", t0)
+        # one device put of the decoded frames, shared by the authenticity
+        # reductions (exact integer stats on-chip) and the MD-VQS programs;
+        # host copy stays for optical flow + video binding
+        frames_dev = jnp.asarray(frames)
         auth = verify_video_authenticity(
-            frames, min_entropy=cfg.auth_min_entropy,
+            frames_dev, min_entropy=cfg.auth_min_entropy,
             min_diff=cfg.auth_min_frame_diff)
         self._mark(d, "authenticity", t0)
         d["authenticity"] = auth
@@ -428,7 +433,8 @@ class Validator(Neuron):
 
         # 7. quality score (MD-VQS) — reuse the step-5 authenticity result
         t0 = time.perf_counter()
-        q = self.scorer.score(frames, req.prompt, auth=auth)
+        q = self.scorer.score(frames, req.prompt, auth=auth,
+                              frames_dev=frames_dev)
         self._mark(d, "mdvqs_score", t0)
         d["mdvqs"] = q
         d["score"] = q["score"] * float(self.registry.get(uid).trust)

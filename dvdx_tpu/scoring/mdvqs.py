@@ -64,6 +64,33 @@ def frame_entropies(frames_uint8: np.ndarray) -> np.ndarray:
     return np.asarray(ent)
 
 
+@jax.jit
+def _auth_stats_dev(frames_u8: jax.Array):
+    """Integer authenticity reductions on device: per-frame gray histograms
+    (int32 counts) and per-pair |diff| sums (int32). Exact integer arithmetic
+    — the host finishes in f64, so the result is bit-identical to the numpy
+    path while only (F,256)+(F-1,) ints cross the wire instead of two full
+    passes over the decoded video on the host (1.9 s of the XL verify wall
+    on a 1-core machine)."""
+    g = frames_u8.astype(jnp.int32).sum(axis=-1) // frames_u8.shape[-1]
+    # histogram as a fused compare-reduce (scatter is serial on TPU)
+    counts = (g[..., None] == jnp.arange(256, dtype=jnp.int32)) \
+        .astype(jnp.int32).sum(axis=(1, 2))                      # (F, 256)
+    x = frames_u8.astype(jnp.int32)
+    diff_sums = jnp.abs(x[1:] - x[:-1]).sum(axis=(1, 2, 3))      # (F-1,)
+    return counts, diff_sums
+
+
+def _entropies_from_counts(counts: np.ndarray) -> np.ndarray:
+    counts = counts.astype(np.float64)
+    ent = []
+    for hist in counts:
+        p = hist / hist.sum()
+        p = p[p > 0]
+        ent.append(float(-(p * np.log2(p)).sum()))
+    return np.asarray(ent)
+
+
 def frame_entropy(frames_uint8: np.ndarray) -> float:
     """Mean per-frame grayscale histogram entropy (bits)."""
     return float(frame_entropies(frames_uint8).mean())
@@ -83,18 +110,33 @@ def verify_video_authenticity(frames_uint8: np.ndarray,
     defaults stricter than the reference's 0.01 (a real video's frame
     entropy is several bits); the entropy-VARIATION threshold matches the
     reference's fixed 0.01. Returns {authentic, entropy, entropy_std,
-    mean_frame_diff, std_frame_diff}."""
-    ents = frame_entropies(frames_uint8)
-    if frames_uint8.shape[0] < 2:
+    mean_frame_diff, std_frame_diff}. Accepts host numpy OR a device
+    jax.Array — the device path runs the same integer reductions on-chip
+    (exact, finished in f64 on host => identical results) and is the fast
+    path when the validator already shipped the frames for MD-VQS."""
+    f, per_pair = int(frames_uint8.shape[0]), 1
+    for s in frames_uint8.shape[1:]:
+        per_pair *= int(s)
+    use_dev = (isinstance(frames_uint8, jax.Array) and f >= 2
+               and per_pair * 255 < 2**31)  # int32-exact bound (~2.7 Kx4K)
+    if use_dev:
+        counts, diff_sums = _auth_stats_dev(frames_uint8)
+        ents = _entropies_from_counts(np.asarray(counts))
+        diffs = np.asarray(diff_sums).astype(np.float64) / per_pair
+    else:
+        frames_uint8 = np.asarray(frames_uint8)
+        ents = frame_entropies(frames_uint8)
+    if f < 2:
         diffs = np.zeros((1,), np.float32)
         authentic = False
     else:
-        # |diff| on the 0-255 uint8 scale, computed in int16 (exact integer
-        # arithmetic, half the host traffic of an f32 pass — at XL the f32
-        # video is 170 MB); per-frame means in f64 are exact for integers
-        x16 = frames_uint8.astype(np.int16)
-        diffs = np.abs(np.diff(x16, axis=0)).reshape(
-            frames_uint8.shape[0] - 1, -1).mean(axis=1)
+        if not use_dev:
+            # |diff| on the 0-255 uint8 scale, computed in int16 (exact
+            # integer arithmetic, half the host traffic of an f32 pass — at
+            # XL the f32 video is 170 MB); per-pair means in f64 are exact
+            x16 = frames_uint8.astype(np.int16)
+            diffs = np.abs(np.diff(x16, axis=0)).reshape(
+                frames_uint8.shape[0] - 1, -1).mean(axis=1)
         # entropy-variation axis: the reference's 0.01 floor is calibrated
         # for cv2-decoded mp4 frames where codec noise inflates per-frame
         # entropy variation; on clean raw frames it rejects honest stable-
@@ -221,21 +263,25 @@ class MDVQS:
     lpips_metric: Optional[object] = None
 
     def score(self, frames_uint8: np.ndarray, prompt: str,
-              auth: Optional[dict] = None) -> dict:
+              auth: Optional[dict] = None,
+              frames_dev: Optional[jax.Array] = None) -> dict:
         # callers that already ran the authenticity gate (the validator does,
         # before spending the spot-check) pass its result in — recomputing it
-        # costs two full passes over every decoded frame on the host
+        # costs two full passes over every decoded frame on the host; a
+        # caller that already device_put the frames (the validator shares one
+        # put between authenticity and MD-VQS) passes frames_dev in
         import time as _time
 
         timings: dict = {}
-        if auth is None:
-            auth = verify_video_authenticity(frames_uint8)
         # ONE host->device transfer of the uint8 frames, shared by the CLIP
         # and perceptual programs (each converts to [-1,1] on device — one
         # quarter the transfer bytes of the old host-side f32 conversion,
         # and no duplicate host pass over the frames)
         t0 = _time.perf_counter()
-        frames_dev = jnp.asarray(np.ascontiguousarray(frames_uint8))
+        if frames_dev is None:
+            frames_dev = jnp.asarray(np.ascontiguousarray(frames_uint8))
+        if auth is None:
+            auth = verify_video_authenticity(frames_dev)
         pf = self.clip_scorer.score_video(frames_dev, prompt)
         timings["clip_pf"] = round(_time.perf_counter() - t0, 4)
 

@@ -48,6 +48,19 @@ def test_authenticity_rejects_constant_noise_free_black():
     assert not verify_video_authenticity(black)["authentic"]
 
 
+def test_authenticity_device_path_bit_identical():
+    """The on-device integer reductions (histogram counts + |diff| sums,
+    finished in f64 on host) must produce EXACTLY the host-numpy result —
+    same floats, not merely close — for real, static, and 2-frame videos."""
+    import jax.numpy as jnp
+
+    for vid in (synthetic_video(), np.full((6, 32, 32, 3), 128, np.uint8),
+                synthetic_video(frames=2)):
+        host = verify_video_authenticity(vid)
+        dev = verify_video_authenticity(jnp.asarray(vid))
+        assert host == dev, (host, dev)
+
+
 @pytest.fixture(scope="module")
 def scorer():
     return CLIPScorer.build(seed=42)
