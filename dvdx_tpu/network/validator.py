@@ -415,7 +415,7 @@ class Validator(Neuron):
         frames_dev = jnp.asarray(frames)
         auth = verify_video_authenticity(
             frames_dev, min_entropy=cfg.auth_min_entropy,
-            min_diff=cfg.auth_min_frame_diff)
+            min_diff=cfg.auth_min_frame_diff, host_frames=frames)
         self._mark(d, "authenticity", t0)
         d["authenticity"] = auth
         if not auth["authentic"]:

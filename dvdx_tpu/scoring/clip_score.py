@@ -27,6 +27,7 @@ from ..models.text_encoder import (
     tokenize_batch,
 )
 from ..utils.init import fast_init
+from .common import as_device_u8
 
 
 CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
@@ -115,19 +116,13 @@ class CLIPScorer:
         return tokenize_batch([prompt], self.text_cfg.vocab_size,
                               self.text_cfg.max_length)
 
-    @staticmethod
-    def _device_u8(frames_uint8) -> jax.Array:
-        if isinstance(frames_uint8, jax.Array):
-            return frames_uint8  # already on device (MDVQS shares one put)
-        return jnp.asarray(np.ascontiguousarray(frames_uint8))
-
     def score_video(self, frames_uint8, prompt: str) -> float:
         """frames (F, H, W, 3) uint8 (numpy or device array) -> [0, 1]."""
-        frames = self._device_u8(frames_uint8)
+        frames = as_device_u8(frames_uint8)
         mean, _ = self._fn()(self.params, frames, jnp.asarray(self._ids(prompt)))
         return float(mean)
 
     def frame_scores(self, frames_uint8, prompt: str) -> np.ndarray:
-        frames = self._device_u8(frames_uint8)
+        frames = as_device_u8(frames_uint8)
         _, cos = self._fn()(self.params, frames, jnp.asarray(self._ids(prompt)))
         return np.asarray(cos)

@@ -31,6 +31,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .common import as_device_u8
+
 # lpips ScalingLayer constants (the package hardcodes these)
 LPIPS_SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
 LPIPS_SCALE = np.array([0.458, 0.448, 0.450], np.float32)
@@ -148,6 +150,5 @@ class LPIPS:
         elementwise op, moved on-device)."""
         if frames_uint8.shape[0] < 2:
             return 0.0
-        if not isinstance(frames_uint8, jax.Array):
-            frames_uint8 = jnp.asarray(np.ascontiguousarray(frames_uint8))
-        return float(self._consec_fn()(self.params, frames_uint8))
+        return float(self._consec_fn()(self.params,
+                                       as_device_u8(frames_uint8)))

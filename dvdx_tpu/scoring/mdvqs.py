@@ -23,6 +23,7 @@ TPU-native substitutions (documented, not hidden):
 from __future__ import annotations
 
 import dataclasses
+import time
 from typing import Optional
 
 import jax
@@ -37,6 +38,13 @@ except Exception:  # pragma: no cover
     _HAS_CV2 = False
 
 from .clip_score import CLIPScorer
+from .common import as_device_u8
+
+
+def _mark(timings: dict, name: str, t0: float) -> float:
+    now = time.perf_counter()
+    timings[name] = round(now - t0, 4)
+    return now
 
 
 # --- authenticity -----------------------------------------------------------
@@ -48,20 +56,16 @@ def _gray_u8(frames_uint8: np.ndarray) -> np.ndarray:
     boundary for sums <= 765) but skips materialising a float64 array the
     size of the video — at the XL geometry that pass alone is ~340 MB of
     host traffic per call."""
-    s = frames_uint8.astype(np.int32).sum(axis=-1)
+    s = frames_uint8.sum(axis=-1, dtype=np.int32)  # no int32 input copy
     return (s // frames_uint8.shape[-1]).astype(np.uint8)
 
 
 def frame_entropies(frames_uint8: np.ndarray) -> np.ndarray:
     """Per-frame grayscale histogram entropy (bits)."""
-    f = _gray_u8(frames_uint8)
-    ent = []
-    for img in f:
-        hist = np.bincount(img.reshape(-1), minlength=256).astype(np.float64)
-        p = hist / hist.sum()
-        p = p[p > 0]
-        ent.append(float(-(p * np.log2(p)).sum()))
-    return np.asarray(ent)
+    g = _gray_u8(frames_uint8)
+    counts = np.stack([np.bincount(img.reshape(-1), minlength=256)
+                       for img in g])
+    return _entropies_from_counts(counts)
 
 
 @jax.jit
@@ -98,7 +102,8 @@ def frame_entropy(frames_uint8: np.ndarray) -> float:
 
 def verify_video_authenticity(frames_uint8: np.ndarray,
                               min_entropy: float = 1.0,
-                              min_diff: float = 0.01) -> dict:
+                              min_diff: float = 0.01,
+                              host_frames: Optional[np.ndarray] = None) -> dict:
     """Static/degenerate detection, reference-faithful semantics
     (scoring.py:13-67): frame diffs are on the 0-255 uint8 scale (the
     reference uses cv2.absdiff of uint8 frames, so its 0.01 threshold is a
@@ -113,18 +118,22 @@ def verify_video_authenticity(frames_uint8: np.ndarray,
     mean_frame_diff, std_frame_diff}. Accepts host numpy OR a device
     jax.Array — the device path runs the same integer reductions on-chip
     (exact, finished in f64 on host => identical results) and is the fast
-    path when the validator already shipped the frames for MD-VQS."""
+    path when the validator already shipped the frames for MD-VQS.
+    host_frames (optional) is the caller's host copy, used instead of a
+    device->host fetch when the device path is rejected (F<2 or the int32
+    exactness bound)."""
     f, per_pair = int(frames_uint8.shape[0]), 1
     for s in frames_uint8.shape[1:]:
         per_pair *= int(s)
     use_dev = (isinstance(frames_uint8, jax.Array) and f >= 2
                and per_pair * 255 < 2**31)  # int32-exact bound (~2.7 Kx4K)
     if use_dev:
-        counts, diff_sums = _auth_stats_dev(frames_uint8)
-        ents = _entropies_from_counts(np.asarray(counts))
-        diffs = np.asarray(diff_sums).astype(np.float64) / per_pair
+        counts, diff_sums = jax.device_get(_auth_stats_dev(frames_uint8))
+        ents = _entropies_from_counts(counts)
+        diffs = diff_sums.astype(np.float64) / per_pair
     else:
-        frames_uint8 = np.asarray(frames_uint8)
+        frames_uint8 = np.asarray(frames_uint8) if host_frames is None \
+            else host_frames
         ents = frame_entropies(frames_uint8)
     if f < 2:
         diffs = np.zeros((1,), np.float32)
@@ -270,22 +279,24 @@ class MDVQS:
         # costs two full passes over every decoded frame on the host; a
         # caller that already device_put the frames (the validator shares one
         # put between authenticity and MD-VQS) passes frames_dev in
-        import time as _time
-
         timings: dict = {}
         # ONE host->device transfer of the uint8 frames, shared by the CLIP
         # and perceptual programs (each converts to [-1,1] on device — one
         # quarter the transfer bytes of the old host-side f32 conversion,
         # and no duplicate host pass over the frames)
-        t0 = _time.perf_counter()
+        t0 = time.perf_counter()
         if frames_dev is None:
-            frames_dev = jnp.asarray(np.ascontiguousarray(frames_uint8))
+            frames_dev = as_device_u8(frames_uint8)
+            t0 = _mark(timings, "device_put", t0)
         if auth is None:
-            auth = verify_video_authenticity(frames_dev)
+            auth = verify_video_authenticity(
+                frames_dev, host_frames=np.asarray(frames_uint8)
+                if not isinstance(frames_uint8, jax.Array) else None)
+            t0 = _mark(timings, "authenticity", t0)
         pf = self.clip_scorer.score_video(frames_dev, prompt)
-        timings["clip_pf"] = round(_time.perf_counter() - t0, 4)
+        timings["clip_pf"] = round(time.perf_counter() - t0, 4)
 
-        t0 = _time.perf_counter()
+        t0 = time.perf_counter()
         if self.lpips_metric is not None:
             lp = self.lpips_metric.consecutive_mean_u8(frames_dev)
             metric = "lpips-alex"
@@ -294,11 +305,11 @@ class MDVQS:
                 if frames_uint8.shape[0] > 1 else 0.0
             metric = "random-projection-proxy"
         vq = float(np.clip(1.0 - lp, 0.0, 1.0))
-        timings["perceptual_vq"] = round(_time.perf_counter() - t0, 4)
+        timings["perceptual_vq"] = round(time.perf_counter() - t0, 4)
 
-        t0 = _time.perf_counter()
+        t0 = time.perf_counter()
         flow = mean_flow_magnitude(frames_uint8)
-        timings["flow_tc"] = round(_time.perf_counter() - t0, 4)
+        timings["flow_tc"] = round(time.perf_counter() - t0, 4)
         # reference TC is the raw mean |flow| — MORE motion scores HIGHER
         # (scoring.py:311-343) but unbounded, which both breaks the [0,1]
         # score mix and pays a miner to maximise jitter. Keep the reference's
