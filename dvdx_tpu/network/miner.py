@@ -165,11 +165,12 @@ class Miner(Neuron):
         t0 = time.time()
         # video arrives uint8 straight from the device program (the f32 ->
         # uint8 conversion runs on-device; 4x fewer bytes over the fetch)
+        gen_phases: dict = {}
         video, zs, epss, timesteps = self.engine.generate_recorded(
             req.prompt, negative_prompt=req.negative_prompt, seed=req.seed,
             num_frames=req.num_frames, height=req.height, width=req.width,
             num_steps=req.num_steps, guidance_scale=req.guidance_scale,
-            cfg_split=req.cfg_split,
+            cfg_split=req.cfg_split, timings=gen_phases,
         )
         gen_s = time.time() - t0
         self.metrics["total_gen_s"] += gen_s
@@ -204,6 +205,7 @@ class Miner(Neuron):
             platform=jax.default_backend(),
             gen_time_s=gen_s,
             timings={"generate": round(gen_s, 4),
+                     **{f"gen_{k}": v for k, v in gen_phases.items()},
                      "merkle_commit": round(commit_s, 4),
                      "encode_mp4": round(encode_s, 4)},
         )

@@ -28,6 +28,7 @@ overhead (~ms) buys program-identity between prover and verifier.
 from __future__ import annotations
 
 import dataclasses
+import time
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -35,6 +36,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import rng as rng_ops
+
+
+def _tmark(timings: dict, name: str, t0: float) -> float:
+    now = time.perf_counter()
+    timings[name] = round(now - t0, 4)
+    return now
 from ..ops.scheduler import make_ddim_schedule
 from ..pipelines.text2video import Pipeline, cfg_denoise_step
 from ..models.vae import decode_frames_tiled
@@ -199,12 +206,17 @@ class StepEngine:
                           seed: int = 0, num_frames: int, height: int,
                           width: int, num_steps: int, guidance_scale: float,
                           latent_dtype=jnp.bfloat16, segment_steps: int = 5,
-                          cfg_split: bool = False):
+                          cfg_split: bool = False,
+                          timings: Optional[dict] = None):
         """PoI-grade generation: records values bitwise-equal to the
         verification step program (driven in `segment_steps`-long launches to
         amortise dispatch overhead; see segment_fn).
         Returns (video_u8 (F,H,W,3) uint8, zs, epss, timesteps) with zs/epss
-        as numpy arrays of shape (N, F, h, w, C) in latent_dtype."""
+        as numpy arrays of shape (N, F, h, w, C) in latent_dtype.
+        timings (optional dict) receives a phase breakdown: compute wall
+        (denoise+decode to device-ready) vs the residual leaf/video fetch —
+        if the async leaf copies overlap the segment compute, leaf_fetch
+        should be ~one segment's worth of bytes, not the whole record."""
         spec = self.pipe.spec
         ds = spec.vae.downscale
         lh, lw = height // ds, width // ds
@@ -219,6 +231,7 @@ class StepEngine:
         z = z[None].astype(latent_dtype)
         zs_dev, eps_dev = [], []
         start = 0
+        t_loop = time.perf_counter()
         while start < num_steps:
             length = min(max(1, segment_steps), num_steps - start)
             seg, _ = self.segment_fn(num_steps, guidance_scale, length,
@@ -236,13 +249,25 @@ class StepEngine:
             zs_dev.append(zs_seg)   # (length, F*h*w*C), flattened on device
             eps_dev.append(eps_seg)
             start += length
+        if timings is not None:
+            # async dispatch should make this tiny; a large value means the
+            # per-segment copy_to_host_async calls BLOCK on this backend
+            _tmark(timings, "dispatch_loop", t_loop)
+        t0 = time.perf_counter()
         video = self.video_fn()(params, z[0])
         jax.block_until_ready(video)
+        if timings is not None:
+            t0 = _tmark(timings, "compute_wall", t0)
         rec_shape = (num_steps, num_frames, lh, lw, c)
         zs = np.concatenate([np.asarray(x) for x in zs_dev]).reshape(rec_shape)
         epss = np.concatenate([np.asarray(x) for x in eps_dev]).reshape(rec_shape)
+        if timings is not None:
+            t0 = _tmark(timings, "leaf_fetch", t0)
         ts = np.asarray(sched.timesteps)
-        return np.asarray(video), zs, epss, ts
+        out_video = np.asarray(video)
+        if timings is not None:
+            _tmark(timings, "video_fetch", t0)
+        return out_video, zs, epss, ts
 
     # -- verifier path --
 
