@@ -205,7 +205,7 @@ class StepEngine:
     def generate_recorded(self, prompt: str, *, negative_prompt: str = "",
                           seed: int = 0, num_frames: int, height: int,
                           width: int, num_steps: int, guidance_scale: float,
-                          latent_dtype=jnp.bfloat16, segment_steps: int = 5,
+                          latent_dtype=jnp.bfloat16, segment_steps: int = 10,
                           cfg_split: bool = False,
                           timings: Optional[dict] = None):
         """PoI-grade generation: records values bitwise-equal to the
@@ -255,6 +255,13 @@ class StepEngine:
             _tmark(timings, "dispatch_loop", t_loop)
         t0 = time.perf_counter()
         video = self.video_fn()(params, z[0])
+        try:
+            # enqueue the video's host copy behind its compute so it overlaps
+            # the leaf fetch below (the 42 MB uint8 fetch is ~3 s through the
+            # RPC tunnel when serialised after everything else)
+            video.copy_to_host_async()
+        except Exception:
+            pass
         jax.block_until_ready(video)
         if timings is not None:
             t0 = _tmark(timings, "compute_wall", t0)
