@@ -205,7 +205,7 @@ class StepEngine:
     def generate_recorded(self, prompt: str, *, negative_prompt: str = "",
                           seed: int = 0, num_frames: int, height: int,
                           width: int, num_steps: int, guidance_scale: float,
-                          latent_dtype=jnp.bfloat16, segment_steps: int = 10,
+                          latent_dtype=jnp.bfloat16, segment_steps: int = 5,
                           cfg_split: bool = False,
                           timings: Optional[dict] = None):
         """PoI-grade generation: records values bitwise-equal to the
