@@ -112,6 +112,17 @@ def test_honest_round_scores_all_miners(honest_net):
         assert not d.get("cheat", False)
     # rewards distributed on the ledger
     assert honest_net.ledger.requests["req-1"].status == "distributed"
+    # observability contract: both PoI sides publish phase timers in the
+    # round report (poi_round.py and the status page consume these keys)
+    d = next(iter(report["miners"].values()))
+    for key in ("video_decode", "authenticity", "reveal_roundtrip",
+                "merkle_verify", "base_noise", "reexecution",
+                "video_binding", "mdvqs_score"):
+        assert key in d["timings_s"], key
+    assert "timings_s" in d["mdvqs"]
+    for key in ("generate", "gen_compute_wall", "gen_leaf_fetch",
+                "gen_video_fetch", "merkle_commit", "encode_mp4"):
+        assert key in d["miner_timings_s"], key
 
 
 def test_lazy_miner_detected_and_slashed(tiny_pipeline_module):
