@@ -60,14 +60,28 @@ def measure_gather_s(mesh, shape, dtype, reps: int = 3):
         return 0.0, 0
     x = jax.device_put(jnp.zeros(shape, dtype),
                        NamedSharding(mesh, P(("data", "seq"))))
+    repl = NamedSharding(mesh, P())
     gather = jax.jit(
-        lambda a: jax.lax.with_sharding_constraint(a, NamedSharding(mesh, P())),
-        out_shardings=NamedSharding(mesh, P()))
-    float(jnp.sum(gather(x)))  # compile + warm (host fetch = real barrier)
-    t0 = time.time()
-    for _ in range(reps):
-        float(jnp.sum(gather(x)))
-    dt = (time.time() - t0) / reps
+        lambda a: jax.lax.with_sharding_constraint(a, repl),
+        out_shardings=repl)
+    # the forced host fetch (float(jnp.sum(...))) is the only reliable
+    # barrier on this runtime (CLAUDE.md timing gotcha), but it adds a full
+    # device->host transfer + reduction to every rep. Time the SAME fetch of
+    # a pre-gathered (already replicated) array through an identity program
+    # and subtract, so ici_gather_s is the collective, not the fetch
+    # (VERDICT r3 weak item 6).
+    ident = jax.jit(lambda a: a + jnp.zeros((), dtype), out_shardings=repl)
+    gathered = gather(x)
+
+    def _timed(fn, arg):
+        float(jnp.sum(fn(arg)))  # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            float(jnp.sum(fn(arg)))
+        return (time.perf_counter() - t0) / reps
+
+    fetch_s = _timed(ident, gathered)
+    dt = max(_timed(gather, x) - fetch_s, 0.0)
     recv = int(x.nbytes * (seq - 1) / seq)
     return dt, recv
 

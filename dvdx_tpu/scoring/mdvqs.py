@@ -77,9 +77,15 @@ def _auth_stats_dev(frames_u8: jax.Array):
     passes over the decoded video on the host (1.9 s of the XL verify wall
     on a 1-core machine)."""
     g = frames_u8.astype(jnp.int32).sum(axis=-1) // frames_u8.shape[-1]
-    # histogram as a fused compare-reduce (scatter is serial on TPU)
-    counts = (g[..., None] == jnp.arange(256, dtype=jnp.int32)) \
-        .astype(jnp.int32).sum(axis=(1, 2))                      # (F, 256)
+    # histogram as a fused compare-reduce (scatter is serial on TPU).
+    # lax.map over frames bounds the worst-case unfused intermediate at ONE
+    # frame's (H,W,256) — the full (F,H,W,256) broadcast would be ~14 GB at
+    # the XL geometry if a backend ever failed to fuse the compare into the
+    # reduce (it does fuse on current TPU/CPU backends).
+    def _frame_hist(gf):
+        return (gf[..., None] == jnp.arange(256, dtype=jnp.int32)) \
+            .astype(jnp.int32).sum(axis=(0, 1))
+    counts = jax.lax.map(_frame_hist, g)                         # (F, 256)
     x = frames_u8.astype(jnp.int32)
     diff_sums = jnp.abs(x[1:] - x[:-1]).sum(axis=(1, 2, 3))      # (F-1,)
     return counts, diff_sums
@@ -226,7 +232,9 @@ def mean_flow_magnitude(frames_uint8: np.ndarray,
     back to native pixels."""
     if frames_uint8.shape[0] < 2:
         return 0.0
-    src = frames_uint8
+    # cv2.calcOpticalFlowFarneback requires host numpy; coerce so a caller
+    # that holds device frames (MDVQS.score accepts jax.Array) doesn't crash
+    src = np.asarray(frames_uint8)
     scale = 1.0
     w = src.shape[2]
     if w > max_width:

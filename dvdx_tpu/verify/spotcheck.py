@@ -38,13 +38,15 @@ import numpy as np
 from ..ops import rng as rng_ops
 
 
+from ..ops.scheduler import make_ddim_schedule
+from ..pipelines.text2video import Pipeline, cfg_denoise_step
+from ..models.vae import decode_frames_tiled
+
+
 def _tmark(timings: dict, name: str, t0: float) -> float:
     now = time.perf_counter()
     timings[name] = round(now - t0, 4)
     return now
-from ..ops.scheduler import make_ddim_schedule
-from ..pipelines.text2video import Pipeline, cfg_denoise_step
-from ..models.vae import decode_frames_tiled
 
 
 class StepEngine:
