@@ -224,12 +224,18 @@ def create_app(ledger: Ledger, listener: DepositListener, registry: Registry,
 
     async def weights(_request):
         # on-chain weight emission view (set_weights analog,
-        # base/validator.py:187-291): kappa-clipped normalised + u16
+        # base/validator.py:187-291): kappa-clipped normalised + u16, plus
+        # the chain-recorded epoch/vector when a ledger is wired in (the
+        # durable artifact Validator.emit_weights writes each round)
         sb = app.get("scorebook")
-        if sb is None:
-            return cors(web.json_response({"weights": {}, "u16": {}}))
-        return cors(web.json_response({"weights": sb.weights(),
-                                       "u16": sb.weights_u16()}))
+        body = {"weights": {}, "u16": {}}
+        if sb is not None:
+            body = {"weights": sb.weights(), "u16": sb.weights_u16()}
+        if ledger is not None and hasattr(ledger, "weights_epoch") \
+                and not callable(ledger.weights_epoch):
+            body["onchain"] = {"epoch": ledger.weights_epoch,
+                               "weights": dict(ledger.weights)}
+        return cors(web.json_response(body))
 
     app.router.add_get("/", index)
     app.router.add_get("/status.html", status_page)

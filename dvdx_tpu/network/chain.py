@@ -59,22 +59,50 @@ def enc_bytes32(b: bytes) -> bytes:
     return b
 
 
-def encode_call(signature: str, args: Sequence[Union[int, str, bytes]]) -> bytes:
-    """selector(signature) ‖ head-encoded static args."""
+def enc_uint_array(vals: Sequence[int]) -> bytes:
+    """Tail encoding of a dynamic uint array: length word + one padded word
+    per element (every uintN element occupies a full 32-byte word in ABI)."""
+    out = bytearray(enc_uint(len(vals)))
+    for v in vals:
+        out += enc_uint(int(v))
+    return bytes(out)
+
+
+def encode_call(signature: str, args: Sequence) -> bytes:
+    """selector(signature) ‖ ABI-encoded args (static head + dynamic tails —
+    dynamic support covers the uintN[] arrays setWeights takes)."""
     types = signature[signature.index("(") + 1 : -1]
     type_list = [t for t in types.split(",") if t]
     if len(type_list) != len(args):
         raise ValueError("arity mismatch")
-    out = bytearray(selector(signature))
+    head = []
+    tails: List[bytes] = []
     for t, a in zip(type_list, args):
-        if t.startswith("uint"):
-            out += enc_uint(int(a))
+        if t.endswith("[]"):
+            if not t.startswith("uint"):
+                raise ValueError(f"unsupported dynamic type {t}")
+            head.append(None)                 # placeholder for the offset
+            tails.append(enc_uint_array(a))
+        elif t.startswith("uint"):
+            head.append(enc_uint(int(a)))
         elif t == "address":
-            out += enc_address(a)
+            head.append(enc_address(a))
         elif t == "bytes32":
-            out += enc_bytes32(a)
+            head.append(enc_bytes32(a))
         else:
             raise ValueError(f"unsupported static type {t}")
+    out = bytearray(selector(signature))
+    offset = 32 * len(head)
+    tail_iter = iter(tails)
+    tail_bytes = bytearray()
+    for h in head:
+        if h is None:
+            tail = next(tail_iter)
+            out += enc_uint(offset + len(tail_bytes))
+            tail_bytes += tail
+        else:
+            out += h
+    out += tail_bytes
     return bytes(out)
 
 
@@ -202,6 +230,14 @@ class ChainLedger:
     def claim(self, account: str) -> str:
         return self._send(self._addr(account), encode_call("claimReward()", []))
 
+    def set_weights(self, caller: str, uids: Sequence[int],
+                    weights: Sequence[int]) -> str:
+        """Record the per-epoch u16 weight vector on-chain (Sol setWeights;
+        same signature as Ledger.set_weights so the validator's emission path
+        is ledger-implementation-agnostic)."""
+        return self._send(self._addr(caller), encode_call(
+            "setWeights(uint16[],uint16[])", [list(uids), list(weights)]))
+
     def request_unstake(self, account: str, amount: int) -> str:
         return self._send(self._addr(account), encode_call(
             "requestUnstake(uint256)", [amount]))
@@ -226,6 +262,18 @@ class ChainLedger:
                                      [request_id_to_bytes32(request_id)]))
         # (user, promptHash, amount, createdAt, status) — status is word 4
         return int.from_bytes(out[128:160], "big") if len(out) >= 160 else 0
+
+    def weights_epoch(self) -> int:
+        out = self._call(encode_call("weightsEpoch()", []))
+        return int.from_bytes(out[:32], "big") if out else 0
+
+    def weight_of(self, uid: int) -> int:
+        out = self._call(encode_call("weightOf(uint16)", [int(uid)]))
+        return int.from_bytes(out[:32], "big") if out else 0
+
+    def weight_uid_count(self) -> int:
+        out = self._call(encode_call("weightUidCount()", []))
+        return int.from_bytes(out[:32], "big") if out else 0
 
     def verify_prompt(self, request_id: str, prompt: str) -> bool:
         """Commitment check against the on-chain promptHash (sha256, matching

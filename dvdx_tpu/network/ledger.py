@@ -76,6 +76,11 @@ class Ledger:
         self.validator_account = validator_account
         self.miner_split = miner_split          # reference s = 0.70 (config.py:64-79)
         self.slash_fraction = slash_fraction    # reference f* = 0.10
+        # epoch-stamped miner weight vector (Sol setWeights twin): the one
+        # chain-visible incentive artifact the reference validator emits each
+        # epoch (`template/base/validator.py:187-291`, weight_utils.py u16)
+        self.weights_epoch = 0
+        self.weights: Dict[int, int] = {}
 
     # -- chain mechanics --
 
@@ -136,6 +141,33 @@ class Ledger:
             self.stakes[miner] = s - cut
             self._emit("Slash", miner=miner, amount=cut, fraction=frac)
             return cut
+
+    def set_weights(self, caller: str, uids: List[int], weights: List[int]) -> int:
+        """Record the validator's per-epoch u16 weight vector (Sol setWeights;
+        validator-only, sorted uids, wholesale replacement). Returns the new
+        epoch number."""
+        with self._lock:
+            if caller != self.validator_account:
+                raise LedgerError("only validator can set weights")
+            if len(uids) != len(weights):
+                raise LedgerError("length mismatch")
+            if not uids:
+                raise LedgerError("empty weights")
+            if any(b <= a for a, b in zip(uids, uids[1:])):
+                raise LedgerError("uids not sorted")
+            for u, w in zip(uids, weights):
+                if not (0 <= int(w) <= 0xFFFF and 0 <= int(u) <= 0xFFFF):
+                    raise LedgerError("uid/weight out of u16 range")
+            self.weights = {int(u): int(w) for u, w in zip(uids, weights)}
+            self.weights_epoch += 1
+            self._emit("Weights", epoch=self.weights_epoch,
+                       uids=[int(u) for u in uids],
+                       weights=[int(w) for w in weights])
+            return self.weights_epoch
+
+    def weight_of(self, uid: int) -> int:
+        with self._lock:
+            return self.weights.get(int(uid), 0)
 
     # -- request lifecycle --
 
@@ -239,6 +271,8 @@ class Ledger:
                 "balances": dict(self.balances),
                 "stakes": dict(self.stakes),
                 "claimable": dict(self.claimable),
+                "weights_epoch": self.weights_epoch,
+                "weights": dict(self.weights),
                 "requests": {
                     k: {
                         "user": r.user, "amount": r.amount, "status": r.status,

@@ -326,6 +326,8 @@ class Validator(Neuron):
                 ledger_error = f"distribute_rewards: {e}"
                 self.metrics["ledger_errors"] += 1
 
+        weights_epoch = self.emit_weights()
+
         report = {
             "request_id": request_id,
             "prompt": prompt,
@@ -335,10 +337,39 @@ class Validator(Neuron):
             "weights": self.scores.weights(),
             "timestamp": time.time(),
         }
+        if weights_epoch is not None:
+            report["weights_epoch"] = weights_epoch
         if ledger_error:
             report["ledger_error"] = ledger_error
         self._write_results(request_id, report, per_miner)
         return report
+
+    def emit_weights(self):
+        """Durably record the kappa-clipped u16 weight vector on the ledger /
+        chain contract — the epoch artifact the reference validator writes to
+        its subnet chain after every forward pass
+        (`template/base/validator.py:187-291`, weight_utils.py:10-226). The
+        off-chain /weights REST view stays; this makes it chain-visible.
+        Returns the new epoch, or None if no ledger / nothing to emit."""
+        if self.ledger is None or not hasattr(self.ledger, "set_weights"):
+            return None
+        w = self.scores.weights_u16()
+        if not w:
+            return None
+        uids = sorted(w)
+        try:
+            res = self.ledger.set_weights("validator", uids,
+                                          [w[u] for u in uids])
+        except Exception as e:
+            self.metrics["ledger_errors"] += 1
+            self.metrics["weights_emit_error"] = str(e)
+            return None
+        # the in-process ledger returns the epoch int directly; ChainLedger
+        # returns a tx hash, so read the epoch back from chain state
+        if isinstance(res, int):
+            return res
+        ep = getattr(self.ledger, "weights_epoch", None)
+        return ep() if callable(ep) else ep
 
     def _account(self, info) -> str:
         return f"miner-{info.uid}" if info else "miner-?"

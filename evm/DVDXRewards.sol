@@ -49,6 +49,13 @@ contract DVDXRewards {
     // stake remains slashable until withdrawn (cooldown = audit window)
     mapping(address => uint256) public unbonding;
     mapping(address => uint64) public unbondAt;
+    // epoch-stamped miner weight vector (kappa-clipped, max-normalised u16 —
+    // the validator's ScoreBook emission). weightUids is the current epoch's
+    // uid set; weightOf is cleared and rewritten atomically each epoch so a
+    // deregistered miner's stale weight can never linger.
+    uint64 public weightsEpoch;
+    uint16[] public weightUids;
+    mapping(uint16 => uint16) public weightOf;
 
     event Deposit(bytes32 indexed requestId, address indexed user,
                   uint256 amount, bytes32 promptHash);
@@ -60,6 +67,7 @@ contract DVDXRewards {
     event UnstakeRequested(address indexed miner, uint256 amount, uint64 at);
     event StakeWithdrawn(address indexed miner, uint256 amount);
     event Refunded(bytes32 indexed requestId, uint256 amount);
+    event WeightsSet(uint64 indexed epoch, uint16[] uids, uint16[] weights);
 
     modifier onlyValidator() {
         require(msg.sender == validator, "not validator");
@@ -165,6 +173,31 @@ contract DVDXRewards {
         stakes[miner] -= cut - fromUnbonding;   // burned in-contract
         unbonding[miner] -= fromUnbonding;
         emit StakeSlashed(miner, cut);
+    }
+
+    /// Validator records its per-epoch miner weight vector on-chain — the
+    /// durable incentive artifact (chain analog of the off-chain ScoreBook's
+    /// u16 emission; the reference writes the same vector to its subnet
+    /// chain every epoch). Replaces the previous epoch's vector wholesale.
+    function setWeights(uint16[] calldata uids, uint16[] calldata w)
+        external onlyValidator {
+        require(uids.length == w.length, "length mismatch");
+        require(uids.length > 0, "empty weights");
+        for (uint256 i = 0; i < weightUids.length; i++) {
+            delete weightOf[weightUids[i]];
+        }
+        delete weightUids;
+        for (uint256 i = 0; i < uids.length; i++) {
+            require(i == 0 || uids[i] > uids[i - 1], "uids not sorted");
+            weightOf[uids[i]] = w[i];
+            weightUids.push(uids[i]);
+        }
+        weightsEpoch += 1;
+        emit WeightsSet(weightsEpoch, uids, w);
+    }
+
+    function weightUidCount() external view returns (uint256) {
+        return weightUids.length;
     }
 
     /// Refund a request stuck pending past the delay (the deposit listener's

@@ -47,9 +47,13 @@ def main(argv=None):
     led.record_submission("validator", "r1", "miner-0", 0.8, b"\x00" * 32)
     led.distribute_rewards("validator", "r1")
     led.slash_stake("validator", "miner-0")
+    led.set_weights("validator", [0, 3], [65535, 1200])
+    led.set_weights("validator", [3], [65535])   # epoch 2 replaces epoch 1
     want_miner_claim = led.claim("miner-0")
     want_validator_claim = led.claim("validator")
     want_stake = led.stake_of("miner-0")
+    want_epoch = led.weights_epoch
+    want_w = (led.weight_of(0), led.weight_of(3))
 
     chain = ChainLedger(args.rpc, args.contract,
                         validator_address=args.validator,
@@ -60,19 +64,28 @@ def main(argv=None):
     chain.record_submission("validator", "r1", "miner-0", 0.8, b"\x00" * 32)
     chain.distribute_rewards("validator", "r1")
     chain.slash_stake("validator", "miner-0")
+    chain.set_weights("validator", [0, 3], [65535, 1200])
+    chain.set_weights("validator", [3], [65535])
 
     got_miner_claim = chain.claimable_of("miner-0")
     got_validator_claim = chain.claimable_of("validator")
     got_stake = chain.stake_of("miner-0")
+    got_epoch = chain.weights_epoch()
+    got_w = (chain.weight_of(0), chain.weight_of(3))
 
     ok = (got_miner_claim == want_miner_claim
           and got_validator_claim == want_validator_claim
           and got_stake == want_stake
-          and chain.request_status("r1") == 3)
+          and chain.request_status("r1") == 3
+          and got_epoch == want_epoch
+          and got_w == want_w
+          and chain.weight_uid_count() == 1)
     print({"miner_claim": (got_miner_claim, want_miner_claim),
            "validator_claim": (got_validator_claim, want_validator_claim),
            "miner_stake": (got_stake, want_stake),
-           "status": chain.request_status("r1"), "match": ok})
+           "status": chain.request_status("r1"),
+           "weights_epoch": (got_epoch, want_epoch),
+           "weights": (got_w, want_w), "match": ok})
     return 0 if ok else 1
 
 

@@ -96,6 +96,9 @@ class DVDXRewardsTwin:
         self.claimable: Dict[str, int] = {}
         self.unbonding: Dict[str, int] = {}
         self.unbond_at: Dict[str, int] = {}
+        self.weights_epoch = 0               # :52-58
+        self.weight_uids: List[int] = []
+        self.weight_of: Dict[int, int] = {}
         self.events: List[dict] = []
 
     def _only_validator(self, sender: str):
@@ -199,6 +202,23 @@ class DVDXRewardsTwin:
         self.events.append({"name": "StakeSlashed", "miner": miner,
                             "amount": cut})
 
+    # setWeights (:~176-196): validator-only epoch-stamped weight vector,
+    # wholesale replacement with sorted-uid + length requires
+    def set_weights(self, sender: str, uids: List[int], w: List[int]):
+        self._only_validator(sender)
+        _require(len(uids) == len(w), "length mismatch")
+        _require(len(uids) > 0, "empty weights")
+        for old in self.weight_uids:
+            self.weight_of.pop(old, None)
+        self.weight_uids = []
+        for i, u in enumerate(uids):
+            _require(i == 0 or u > uids[i - 1], "uids not sorted")
+            self.weight_of[u & 0xFFFF] = w[i] & 0xFFFF
+            self.weight_uids.append(u & 0xFFFF)
+        self.weights_epoch = (self.weights_epoch + 1) & U64
+        self.events.append({"name": "WeightsSet", "epoch": self.weights_epoch,
+                            "uids": list(uids), "weights": list(w)})
+
     # :172-180
     def refund_unused(self, sender: str, request_id: bytes, now: int):
         r = self.requests.get(request_id)
@@ -224,11 +244,15 @@ _SEL = {
     "claimReward()": "claim",
     "slashStake(address)": "slash",
     "refundUnused(bytes32)": "refund",
+    "setWeights(uint16[],uint16[])": "set_weights",
     # views
     "stakes(address)": "v_stakes",
     "claimable(address)": "v_claimable",
     "unbonding(address)": "v_unbonding",
     "requests(bytes32)": "v_requests",
+    "weightsEpoch()": "v_weights_epoch",
+    "weightOf(uint16)": "v_weight_of",
+    "weightUidCount()": "v_weight_uid_count",
 }
 _SELECTORS = {selector(sig): name for sig, name in _SEL.items()}
 
@@ -239,6 +263,16 @@ def _word(data: bytes, i: int) -> bytes:
 
 def _addr_of(word: bytes) -> str:
     return "0x" + word[12:].hex()
+
+
+def _uint_array(data: bytes, head_index: int) -> List[int]:
+    """Decode a dynamic uintN[] argument: the head word holds the byte offset
+    (from the start of the args region) of the (length ‖ elements) tail."""
+    off = int.from_bytes(_word(data, head_index), "big")
+    base = 4 + off
+    n = int.from_bytes(data[base: base + 32], "big")
+    return [int.from_bytes(data[base + 32 * (1 + i): base + 32 * (2 + i)],
+                           "big") for i in range(n)]
 
 
 class MockNode:
@@ -285,6 +319,8 @@ class MockNode:
             c.slash_stake(sender, _addr_of(_word(data, 0)))
         elif name == "refund":
             c.refund_unused(sender, _word(data, 0), now)
+        elif name == "set_weights":
+            c.set_weights(sender, _uint_array(data, 0), _uint_array(data, 1))
         else:
             raise Revert(f"not a transaction entrypoint: {name}")
 
@@ -298,6 +334,13 @@ class MockNode:
             return c.claimable.get(_addr_of(_word(data, 0)), 0).to_bytes(32, "big")
         if name == "v_unbonding":
             return c.unbonding.get(_addr_of(_word(data, 0)), 0).to_bytes(32, "big")
+        if name == "v_weights_epoch":
+            return c.weights_epoch.to_bytes(32, "big")
+        if name == "v_weight_of":
+            uid = int.from_bytes(_word(data, 0), "big")
+            return c.weight_of.get(uid, 0).to_bytes(32, "big")
+        if name == "v_weight_uid_count":
+            return len(c.weight_uids).to_bytes(32, "big")
         if name == "v_requests":
             r = c.requests.get(_word(data, 0))
             if r is None:

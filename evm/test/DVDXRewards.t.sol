@@ -82,6 +82,44 @@ contract DVDXRewardsTest {
         rewards.distributeRewards(bytes32("r1"));
     }
 
+    function testSetWeightsEpochReplacement() public {
+        uint16[] memory uids = new uint16[](2);
+        uint16[] memory w = new uint16[](2);
+        uids[0] = 0; uids[1] = 3;
+        w[0] = 65535; w[1] = 1200;
+        vm.prank(validator);
+        rewards.setWeights(uids, w);
+        require(rewards.weightsEpoch() == 1, "epoch 1");
+        require(rewards.weightOf(0) == 65535 && rewards.weightOf(3) == 1200,
+                "weights stored");
+        // next epoch replaces wholesale: uid 0 must be cleared
+        uint16[] memory uids2 = new uint16[](1);
+        uint16[] memory w2 = new uint16[](1);
+        uids2[0] = 3; w2[0] = 65535;
+        vm.prank(validator);
+        rewards.setWeights(uids2, w2);
+        require(rewards.weightsEpoch() == 2, "epoch 2");
+        require(rewards.weightOf(0) == 0, "stale weight cleared");
+        require(rewards.weightUidCount() == 1, "uid set replaced");
+    }
+
+    function testSetWeightsGates() public {
+        uint16[] memory uids = new uint16[](1);
+        uint16[] memory w = new uint16[](2);
+        uids[0] = 1; w[0] = 1; w[1] = 2;
+        vm.expectRevert("not validator");
+        rewards.setWeights(uids, w);
+        vm.prank(validator);
+        vm.expectRevert("length mismatch");
+        rewards.setWeights(uids, w);
+        uint16[] memory unsorted = new uint16[](2);
+        uint16[] memory w2 = new uint16[](2);
+        unsorted[0] = 5; unsorted[1] = 5;
+        vm.prank(validator);
+        vm.expectRevert("uids not sorted");
+        rewards.setWeights(unsorted, w2);
+    }
+
     function testRefundAfterDelay() public {
         _fund();
         vm.expectRevert("too early");

@@ -189,3 +189,39 @@ def test_ledger_difftest_script_sequence():
     assert led.claim("miner-0") == 7_000      # MINER_SPLIT_BPS=7000
     assert led.claim("validator") == 3_000
     assert led.stake_of("miner-0") == 900     # SLASH_BPS=1000
+
+
+def test_abi_encoding_dynamic_uint16_arrays():
+    """setWeights(uint16[],uint16[]) calldata: two head offset words, then
+    length-prefixed one-word-per-element tails (solidity ABI spec)."""
+    data = encode_call("setWeights(uint16[],uint16[])", [[0, 3], [65535, 1200]])
+    assert data[:4] == selector("setWeights(uint16[],uint16[])")
+    words = [data[4 + 32 * i: 4 + 32 * (i + 1)].hex() for i in range(8)]
+    assert words[0] == "%064x" % 0x40          # offset of uids tail
+    assert words[1] == "%064x" % 0xA0          # offset of weights tail
+    assert words[2] == "%064x" % 2             # uids length
+    assert words[3] == "%064x" % 0
+    assert words[4] == "%064x" % 3
+    assert words[5] == "%064x" % 2             # weights length
+    assert words[6] == "%064x" % 65535
+    assert words[7] == "%064x" % 1200
+    assert len(data) == 4 + 8 * 32
+
+
+def test_chain_ledger_set_weights_calldata(rpc_server):
+    url, store = rpc_server
+    led = _ledger(url)
+    led.set_weights("validator", [1, 2], [100, 200])
+    want = encode_call("setWeights(uint16[],uint16[])", [[1, 2], [100, 200]])
+    assert store["txs"][-1]["data"] == "0x" + want.hex()
+    assert store["txs"][-1]["from"] == VALIDATOR
+
+
+def test_ledger_difftest_weights_sequence():
+    """The weights half of the difftest script, pinned on the in-process
+    ledger (mirrors DVDXRewards.t.sol::testSetWeightsEpochReplacement)."""
+    led = Ledger()
+    led.set_weights("validator", [0, 3], [65535, 1200])
+    led.set_weights("validator", [3], [65535])
+    assert led.weights_epoch == 2
+    assert led.weight_of(0) == 0 and led.weight_of(3) == 65535

@@ -122,3 +122,29 @@ def test_view_struct_decoding_roundtrip(node):
     assert not chain.verify_prompt("rid-x", "other prompt")
     rid = request_id_to_bytes32("rid-x")
     assert node[0].contract.requests[rid]["amount"] == 42
+
+
+def test_forge_set_weights_epoch_replacement(node):
+    """DVDXRewards.t.sol::testSetWeightsEpochReplacement."""
+    _, url = node
+    chain = _ledger(url)
+    chain.set_weights("validator", [0, 3], [65535, 1200])
+    assert chain.weights_epoch() == 1
+    assert chain.weight_of(0) == 65535 and chain.weight_of(3) == 1200
+    chain.set_weights("validator", [3], [65535])
+    assert chain.weights_epoch() == 2
+    assert chain.weight_of(0) == 0          # stale weight cleared
+    assert chain.weight_uid_count() == 1
+
+
+def test_forge_set_weights_gates(node):
+    """DVDXRewards.t.sol::testSetWeightsGates."""
+    _, url = node
+    chain = _ledger(url)
+    with pytest.raises(LedgerError):
+        chain.set_weights("miner-0", [1], [1])          # not validator
+    with pytest.raises(LedgerError):
+        chain.set_weights("validator", [1], [1, 2])     # length mismatch
+    with pytest.raises(LedgerError):
+        chain.set_weights("validator", [5, 5], [1, 2])  # uids not sorted
+    assert chain.weights_epoch() == 0

@@ -414,3 +414,37 @@ def test_reveal_abort_slash_requires_reachability(tiny_pipeline_module,
         assert net.ledger.stake_of("miner-0") < stake_before
     else:
         assert net.ledger.stake_of("miner-0") == stake_before
+
+
+def test_ledger_set_weights_epoch_semantics():
+    led = Ledger()
+    with pytest.raises(LedgerError):
+        led.set_weights("not-validator", [0], [1])
+    with pytest.raises(LedgerError):
+        led.set_weights("validator", [0, 1], [1])       # length mismatch
+    with pytest.raises(LedgerError):
+        led.set_weights("validator", [], [])            # empty
+    with pytest.raises(LedgerError):
+        led.set_weights("validator", [3, 3], [1, 2])    # not strictly sorted
+    with pytest.raises(LedgerError):
+        led.set_weights("validator", [0], [70000])      # u16 overflow
+    assert led.set_weights("validator", [0, 3], [65535, 1200]) == 1
+    assert led.weight_of(0) == 65535 and led.weight_of(3) == 1200
+    # wholesale replacement: uid 0's stale weight must clear
+    assert led.set_weights("validator", [3], [65535]) == 2
+    assert led.weight_of(0) == 0 and led.weights_epoch == 2
+    snap = led.snapshot()
+    assert snap["weights_epoch"] == 2 and snap["weights"] == {3: 65535}
+    kinds = [e.kind for e in led.events]
+    assert kinds.count("Weights") == 2
+
+
+def test_round_emits_weights_on_ledger(honest_net):
+    """After a settled round the validator's kappa-clipped u16 vector is
+    durably recorded on the ledger (the reference's per-epoch on-chain
+    set_weights, template/base/validator.py:187-291)."""
+    report = _run(honest_net.run_request("req-weights", "a spinning coin"))
+    led = honest_net.ledger
+    assert report.get("weights_epoch") == led.weights_epoch >= 1
+    want = honest_net.validator.scores.weights_u16()
+    assert led.weights == {u: w for u, w in want.items()}
