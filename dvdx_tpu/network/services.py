@@ -65,7 +65,15 @@ async def run_miner(args):
     kp = _keypair(args.key_seed, f"miner-{args.port}")
     registry = Registry()
     mcfg = MinerConfig(spool_dir=args.spool_dir) if args.spool_dir else None
-    miner = Miner(pipe, kp, registry, mcfg)
+    mesh = None
+    if getattr(args, "mesh", ""):
+        # e.g. --mesh 1,8,1 --mesh-strategy fsdp: PoI generation sharded
+        # over this miner's chips (trace verifies on a 1-device validator)
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(tuple(int(x) for x in args.mesh.split(",")))
+    miner = Miner(pipe, kp, registry, mcfg, mesh=mesh,
+                  strategy=getattr(args, "mesh_strategy", "fsdp"))
 
     runner, port = await serve_neuron(miner.handle, args.host, args.port)
     address = f"{args.host}:{port}"
@@ -76,7 +84,7 @@ async def run_miner(args):
         # (BaseMinerNeuron run loop, template/base/miner.py:86-153)
         from ..verify.proof import sign_registration
 
-        platform = __import__("jax").default_backend()
+        platform = miner.platform_tag  # backend, or backend:strategy (mesh)
         async with aiohttp.ClientSession() as sess:
             while True:
                 try:
@@ -226,6 +234,12 @@ def build_parser():
                    help="disk spool for reveal-able traces ('' disables)")
     m.add_argument("--params-ckpt", default="",
                    help="orbax checkpoint of shared model weights")
+    m.add_argument("--mesh", default="",
+                   help="data,model,seq mesh shape (e.g. 1,8,1) — PoI "
+                        "generation sharded over this miner's local chips")
+    m.add_argument("--mesh-strategy", default="fsdp",
+                   choices=["fsdp", "cp_exact"],
+                   help="sharding for --mesh (value-preserving only)")
 
     v = sub.add_parser("validator")
     v.add_argument("--host", default="127.0.0.1")
