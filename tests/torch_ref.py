@@ -553,3 +553,64 @@ class LPIPSRef(nn.Module):
             sq = (self._norm(xa) - self._norm(xb)) ** 2
             d = d + getattr(self, f"lin{i}")(sq).mean(dim=(2, 3)).squeeze(1)
         return d
+
+
+# --- DDIM scheduler (inference semantics, epsilon + v_prediction) -----------
+
+
+class DDIMSchedulerRef:
+    """diffusers.DDIMScheduler inference semantics as the reference configures
+    it (`/root/reference/InferNet/neurons/miner.py:522-589`): scaled_linear
+    betas, 'leading' spacing with steps_offset=1, set_alpha_to_one=False,
+    eta=0 deterministic step. Also implements the v_prediction branch
+    (CogVideoX-class models). Computed in float64 so the jax f32 tables are
+    tested against a higher-precision independent derivation."""
+
+    def __init__(self, num_train_timesteps=1000, beta_start=0.00085,
+                 beta_end=0.012, beta_schedule="scaled_linear",
+                 steps_offset=1, prediction_type="epsilon"):
+        if beta_schedule == "scaled_linear":
+            betas = torch.linspace(beta_start ** 0.5, beta_end ** 0.5,
+                                   num_train_timesteps,
+                                   dtype=torch.float64) ** 2
+        elif beta_schedule == "linear":
+            betas = torch.linspace(beta_start, beta_end, num_train_timesteps,
+                                   dtype=torch.float64)
+        else:
+            raise ValueError(beta_schedule)
+        self.alphas_cumprod = torch.cumprod(1.0 - betas, dim=0)
+        # set_alpha_to_one=False (what Zeroscope ships)
+        self.final_alpha_cumprod = self.alphas_cumprod[0]
+        self.num_train_timesteps = num_train_timesteps
+        self.steps_offset = steps_offset
+        self.prediction_type = prediction_type
+        self.timesteps = None
+        self.num_inference_steps = None
+
+    def set_timesteps(self, num_inference_steps):
+        self.num_inference_steps = num_inference_steps
+        step_ratio = self.num_train_timesteps // num_inference_steps
+        ts = (torch.arange(num_inference_steps, dtype=torch.float64)
+              * step_ratio).round().flip(0).long() + self.steps_offset
+        self.timesteps = torch.clamp(ts, 0, self.num_train_timesteps - 1)
+
+    def step(self, model_output, timestep, sample):
+        """One eta=0 DDIM update; returns prev_sample (float32)."""
+        t = int(timestep)
+        prev_t = t - self.num_train_timesteps // self.num_inference_steps
+        a_t = self.alphas_cumprod[t]
+        a_prev = (self.alphas_cumprod[prev_t] if prev_t >= 0
+                  else self.final_alpha_cumprod)
+        b_t = 1.0 - a_t
+        mo = model_output.double()
+        x = sample.double()
+        if self.prediction_type == "epsilon":
+            pred_x0 = (x - b_t ** 0.5 * mo) / a_t ** 0.5
+            pred_eps = mo
+        elif self.prediction_type == "v_prediction":
+            pred_x0 = a_t ** 0.5 * x - b_t ** 0.5 * mo
+            pred_eps = a_t ** 0.5 * mo + b_t ** 0.5 * x
+        else:
+            raise ValueError(self.prediction_type)
+        prev = a_prev ** 0.5 * pred_x0 + (1.0 - a_prev) ** 0.5 * pred_eps
+        return prev.float()
