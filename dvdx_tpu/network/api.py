@@ -237,7 +237,35 @@ def create_app(ledger: Ledger, listener: DepositListener, registry: Registry,
                                "weights": dict(ledger.weights)}
         return cors(web.json_response(body))
 
+    async def requests_list(_request):
+        """Live-rounds feed for the frontend (status.html polls this): every
+        request the deposit listener tracks, joined with the on-disk round
+        results (miner count / top score / cheats) once a round completes.
+        The reference frontend can only poll one requestId at a time
+        (`frontend/pages/status/[requestId].tsx`)."""
+        out = listener.all_requests()
+        import glob as _glob
+
+        for path in _glob.glob(os.path.join(results_dir, "results_*.json")):
+            rid = os.path.basename(path)[len("results_"):-len(".json")]
+            entry = out.setdefault(rid, {"status": "completed"})
+            try:
+                with open(path) as f:
+                    data = json.load(f)
+                miners = data.get("miners", {})
+                scores = [m.get("score", 0.0) for m in miners.values()]
+                entry["miners"] = len(miners)
+                entry["top_score"] = max(scores) if scores else 0.0
+                entry["cheats"] = sum(1 for m in miners.values()
+                                      if m.get("cheat"))
+                entry["has_results"] = True
+            except Exception:
+                entry["has_results"] = False
+        return cors(web.json_response(
+            {"requests": out, "count": len(out)}))
+
     app.router.add_get("/", index)
+    app.router.add_get("/requests", requests_list)
     app.router.add_get("/status.html", status_page)
     app.router.add_get("/weights", weights)
     app.router.add_post("/submit_prompt", submit_prompt)

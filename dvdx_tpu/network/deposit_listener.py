@@ -152,3 +152,20 @@ class DepositListener:
         with self._lock:
             e = self.active_requests.get(request_id)
             return dict(e) if e else None
+
+    def all_requests(self) -> Dict[str, dict]:
+        """Snapshot of every tracked request for the live-rounds view
+        (the reference status page polls one id at a time; this powers a
+        rounds table). Cleartext prompts are NOT included — only whether
+        one has been revealed."""
+        with self._lock:
+            return {
+                rid: {
+                    "status": e["status"],
+                    "user": e["user"],
+                    "amount": e["amount"],
+                    "has_prompt": bool(e["prompt"]),
+                    "seen_at": e["seen_at"],
+                }
+                for rid, e in self.active_requests.items()
+            }

@@ -125,6 +125,15 @@ def test_rest_api_lifecycle():
                     assert r.status == 200
                 async with sess.get(f"{base}/status/unknown") as r:
                     assert r.status == 404
+                # live-rounds feed (frontend status.html polls this): the
+                # refunded round is listed with its lifecycle state and no
+                # cleartext prompt is leaked
+                async with sess.get(f"{base}/requests") as r:
+                    body = await r.json()
+                    assert r.status == 200
+                    e = body["requests"]["api-1"]
+                    assert e["status"] == "refunded" and e["user"] == "carol"
+                    assert e["has_prompt"] is True and "prompt" not in e
                 # wallet-grade signed deposit: account binds to the Ed25519
                 # key (frontend commit-signing analog of the wagmi flow)
                 from dvdx_tpu.verify.proof import Keypair
