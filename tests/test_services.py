@@ -83,12 +83,16 @@ def test_http_transport_roundtrip(tiny_pipeline_module):
     _run(go())
 
 
-def test_rest_api_lifecycle():
+def test_rest_api_lifecycle(tmp_path):
     async def go():
         led = Ledger()
         listener = DepositListener(led, stuck_timeout_s=9999)
         reg = Registry()
-        app = create_app(led, listener, reg, submit_wait_s=2.0)
+        # a finished round on disk: /requests must join it into the feed
+        (tmp_path / "results_old-9.json").write_text(json.dumps({
+            "miners": {"0": {"score": 0.42}, "1": {"score": 0.0, "cheat": True}}}))
+        app = create_app(led, listener, reg, submit_wait_s=2.0,
+                         results_dir=str(tmp_path))
         runner, port = await serve_api(app, port=0)
         base = f"http://127.0.0.1:{port}"
         try:
@@ -134,6 +138,11 @@ def test_rest_api_lifecycle():
                     e = body["requests"]["api-1"]
                     assert e["status"] == "refunded" and e["user"] == "carol"
                     assert e["has_prompt"] is True and "prompt" not in e
+                    # disk-only round joined with results summary
+                    old = body["requests"]["old-9"]
+                    assert old["status"] == "completed"
+                    assert old["miners"] == 2 and old["cheats"] == 1
+                    assert abs(old["top_score"] - 0.42) < 1e-9
                 # wallet-grade signed deposit: account binds to the Ed25519
                 # key (frontend commit-signing analog of the wagmi flow)
                 from dvdx_tpu.verify.proof import Keypair
