@@ -240,11 +240,20 @@ def phase_xl(state_path: str) -> None:
     xl_compile_s = time.time() - t0
     _update_state(state_path, {"xl_compile_plus_first_s": round(xl_compile_s, 1)})
 
-    t0 = time.time()
-    xl_frames = run(params, xl_ids, key)
-    _force(xl_frames)
-    xl_sec = time.time() - t0
+    # min of 3 timed runs — the same methodology the standard phase uses
+    # (VERDICT r3 weak #3: a single XL sample sits half a +-1.5 s variance
+    # band above the 2x threshold; min-of-N is what the timed loop reports
+    # for standard, so XL now matches)
+    xl_times = []
+    for _ in range(3):
+        t0 = time.time()
+        xl_frames = run(params, xl_ids, key)
+        _force(xl_frames)
+        xl_times.append(time.time() - t0)
+    xl_sec = min(xl_times)
     del xl_frames
+    _update_state(state_path, {
+        "xl_sec_runs": [round(t, 2) for t in xl_times]})
     _update_state(state_path, {
         "xl_sec_per_video": round(xl_sec, 2),
         "xl_vs_baseline": round(A100_XL_BASELINE_SEC / xl_sec, 3),

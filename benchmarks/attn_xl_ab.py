@@ -31,6 +31,11 @@ _ap = argparse.ArgumentParser()
 _ap.add_argument("--shape", default="24,9216,5,64",
                  help="B,S,H,D (default: XL level-0 spatial; std geometry "
                       "CFG-batched is 32,2880,5,64)")
+_ap.add_argument("--blocks", default="",
+                 help="comma list of bqxbk pairs to sweep (e.g. "
+                      "1152x1152,1536x1536) — overrides the default grid")
+_ap.add_argument("--skip-base", action="store_true",
+                 help="skip the auto/xla baselines (sweep only)")
 _ns = _ap.parse_args()
 B, S, H, D = (int(x) for x in _ns.shape.split(","))
 FLOPS = 4 * B * H * S * S * D
@@ -68,10 +73,15 @@ def _bench(name, fn, n=6):
 
 def main():
     scale = D ** -0.5
-    bench("auto (model default)",
-          lambda q, k, v: fa.flash_attention(q, k, v, scale=scale))
-    bench("xla", lambda q, k, v: _xla_attention(q, k, v, scale))
-    for bq, bk in ((512, 512), (1024, 512), (1024, 1024), (2048, 1024)):
+    if not _ns.skip_base:
+        bench("auto (model default)",
+              lambda q, k, v: fa.flash_attention(q, k, v, scale=scale))
+        bench("xla", lambda q, k, v: _xla_attention(q, k, v, scale))
+    blocks = ((512, 512), (1024, 512), (1024, 1024), (2048, 1024))
+    if _ns.blocks:
+        blocks = tuple(tuple(int(v) for v in pair.split("x"))
+                       for pair in _ns.blocks.split(","))
+    for bq, bk in blocks:
         bench(f"blocked bq={bq} bk={bk}",
               lambda q, k, v, bq=bq, bk=bk: fa.flash_attention(
                   q, k, v, scale=scale, block_q=bq, block_k=bk))
