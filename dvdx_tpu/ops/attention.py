@@ -60,10 +60,17 @@ _RING_CTX: _contextvars.ContextVar[tuple] = _contextvars.ContextVar(
 
 
 @_contextlib.contextmanager
-def ring_context(mesh, axis_name: str = "seq"):
+def ring_context(mesh, axis_name: str = "seq", algo: str = "ring"):
     """While tracing inside this context, attention calls with impl='ring'
-    execute as ring attention over `axis_name` of `mesh`."""
-    token = _RING_CTX.set(_RING_CTX.get() + ((mesh, axis_name),))
+    execute as exact context parallelism over `axis_name` of `mesh`.
+
+    algo: 'ring' (K/V ppermute, works for any head count), 'ulysses'
+    (head all-to-all — strict: raises on indivisible heads), or 'auto'
+    (ulysses where heads divide the axis, ring elsewhere; the right choice
+    for the zeroscope family whose level-0 attention has 5 heads)."""
+    if algo not in ("ring", "ulysses", "auto"):
+        raise ValueError(f"unknown cp algo {algo!r}")
+    token = _RING_CTX.set(_RING_CTX.get() + ((mesh, axis_name, algo),))
     try:
         yield
     finally:
@@ -95,11 +102,15 @@ def multi_head_attention(
     if impl == "ring":
         ring_stack = _RING_CTX.get()
         if ring_stack and q.shape[1] == k.shape[1]:
-            mesh, axis_name = ring_stack[-1]
+            mesh, axis_name, algo = ring_stack[-1]
             n = mesh.shape[axis_name]
             if n > 1 and q.shape[1] % n == 0:
-                from .ring_attention import ring_attention
+                from .ring_attention import ring_attention, ulysses_attention
 
+                if algo == "ulysses" or (algo == "auto"
+                                         and q.shape[2] % n == 0):
+                    return ulysses_attention(q, k, v, mesh,
+                                             axis_name=axis_name, scale=scale)
                 return ring_attention(q, k, v, mesh, axis_name=axis_name,
                                       scale=scale)
         impl = "auto"

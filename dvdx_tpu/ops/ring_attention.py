@@ -83,3 +83,51 @@ def ring_attention(q, k, v, mesh: Mesh, *, axis_name: str = "seq",
         mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
     )
     return fn(q, k, v)
+
+
+# --- Ulysses (DeepSpeed-style) sequence parallelism ---------------------------
+#
+# Two all-to-alls instead of n-1 ring hops: re-shard (B, S/n, H, D) ->
+# (B, S, H/n, D), run FULL attention per local head, re-shard back. For the
+# short frame axes of video diffusion (16-24 frames) this is the cheaper
+# collective pattern (CoCoDiff, arXiv:2604.14561, analyses the same trade for
+# DiT serving), and — unlike the ring's blockwise online softmax — each head's
+# softmax/contraction runs in ONE piece, so per-head results are bitwise the
+# single-device attention (only the layout moves). Requires heads % n == 0;
+# the 'auto' CP algorithm falls back to ring attention where it does not
+# (the zeroscope level-0 temporal attention has 5 heads).
+
+
+def _ulysses_body(axis_name: str, scale: float, q, k, v):
+    """Per-shard: q/k/v (B, S_loc, H, D) -> (B, S_loc, H, D)."""
+
+    def to_heads(x):  # (B, S_loc, H, D) -> (B, S, H_loc, D)
+        return jax.lax.all_to_all(x, axis_name, split_axis=2, concat_axis=1,
+                                  tiled=True)
+
+    o = _xla_attention(to_heads(q), to_heads(k), to_heads(v), scale)
+    # back to sequence sharding: split S, concat local heads
+    return jax.lax.all_to_all(o, axis_name, split_axis=1, concat_axis=2,
+                              tiled=True)
+
+
+def ulysses_attention(q, k, v, mesh: Mesh, *, axis_name: str = "seq",
+                      scale: Optional[float] = None):
+    """Global self-attention, sequence axis sharded, via head all-to-all.
+
+    q/k/v: (B, S, H, D) with S sharded over `axis_name`. S AND H must divide
+    the axis size (callers route indivisible-head shapes to ring_attention).
+    """
+    n = mesh.shape[axis_name]
+    if q.shape[2] % n:
+        raise ValueError(
+            f"ulysses needs heads ({q.shape[2]}) divisible by the mesh axis "
+            f"({n}); use ring_attention (or cp_algo='auto') instead")
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    spec = P(None, axis_name, None, None)
+    fn = jax.shard_map(
+        functools.partial(_ulysses_body, axis_name, float(scale)),
+        mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+    )
+    return fn(q, k, v)

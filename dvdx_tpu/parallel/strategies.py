@@ -49,6 +49,10 @@ class Strategy:
     overlap: int = 2
     context_weight: float = 0.0  # CCI weight (reference default 0.35)
     exact_cp: bool = False
+    # exact-CP collective algorithm: 'ring' (K/V ppermute, any head count),
+    # 'ulysses' (head all-to-all, strict), 'auto' (ulysses where heads divide
+    # the seq axis, ring elsewhere — CoCoDiff-style for short frame axes)
+    cp_algo: str = "ring"
     # pre-conditioning overlap ("Strategy C"): denoise the FULL latent for
     # pre_steps before finishing independently per chunk (reference
     # `legacy/Latent Chunking/precond_overlap/run_worker.py:32-44`)
@@ -63,6 +67,12 @@ PRESETS: Dict[str, Strategy] = {
     "hybrid_ctx": Strategy("hybrid_ctx", shard_params=True, chunked=True,
                            context_weight=0.35),
     "cp_exact": Strategy("cp_exact", shard_params=True, exact_cp=True),
+    # same exactness, different collective: per-head single-piece softmax via
+    # two all-to-alls (bitwise the single-device attention per head) instead
+    # of n-1 ring hops; indivisible-head modules (level-0's 5 heads) fall
+    # back to ring inside the same program
+    "cp_ulysses": Strategy("cp_ulysses", shard_params=True, exact_cp=True,
+                           cp_algo="auto"),
     "precond": Strategy("precond", chunked=True, pre_steps=2),
 }
 
@@ -159,7 +169,8 @@ def build_runner(
             from ..ops.attention import ring_context
             from ..ops.layout import frames_major
 
-            with ring_context(mesh, "seq"), frames_major():
+            with ring_context(mesh, "seq", algo=strategy.cp_algo), \
+                    frames_major():
                 return _core_body(params, token_ids, noise_key)
         return _core_body(params, token_ids, noise_key)
 

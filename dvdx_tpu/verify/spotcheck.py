@@ -133,7 +133,8 @@ class StepEngine:
             from ..ops.layout import frames_major
 
             stack = contextlib.ExitStack()
-            stack.enter_context(ring_context(self.mesh, "seq"))
+            stack.enter_context(ring_context(self.mesh, "seq",
+                                             algo=self.strategy.cp_algo))
             stack.enter_context(frames_major())
             return stack
         return contextlib.nullcontext()

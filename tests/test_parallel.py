@@ -222,3 +222,24 @@ def test_measure_gather_s_excludes_fetch_barrier():
     # by more than scheduling noise (it used to, by a whole host fetch +
     # reduction); allow generous 1-core-host jitter on the lower side
     assert dt <= blocked * 3 + 2e-3, (dt, blocked)
+
+
+def test_cp_ulysses_matches_single_device(tiny_pipeline):
+    """Ulysses CP (head all-to-all; preset cp_ulysses) is exact like
+    cp_exact — and tighter: per-head attention runs in one piece, so the
+    only deviation is GSPMD layout/accumulation noise elsewhere."""
+    pipe = tiny_pipeline
+    ids = jnp.asarray(tokenize_batch(["", "a waterfall"], pipe.spec.text.vocab_size,
+                                     pipe.spec.text.max_length))
+    key = rng_ops.base_key(9)
+    single = build_runner(pipe, get_strategy("single"),
+                          make_mesh((1, 1, 1), devices=[jax.devices()[0]]),
+                          num_frames=8, height=32, width=32, num_steps=2)
+    # seq=4 divides the 64ch level's 4 heads (ulysses) but not the 32ch
+    # level's 2 (ring fallback) — one program exercising BOTH paths
+    cp = build_runner(pipe, get_strategy("cp_ulysses", shard_params=False),
+                      make_mesh((1, 2, 4)),
+                      num_frames=8, height=32, width=32, num_steps=2)
+    a = np.asarray(single(pipe.params, ids, key), np.float32)
+    b = np.asarray(cp(pipe.params, ids, key), np.float32)
+    np.testing.assert_allclose(a, b, atol=3e-2)
