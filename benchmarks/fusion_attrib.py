@@ -156,6 +156,13 @@ def main():
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--hbm-gbps", type=float, default=819.0,
                     help="v5e HBM bandwidth roof for the pct-of-roof column")
+    ap.add_argument("--dump", default="",
+                    help="write every traced op's joined record (name, ms, "
+                         "opcode, dims, flops, body ops) as JSON to this path")
+    ap.add_argument("--agg", action="store_true",
+                    help="aggregate ALL device ops (not just the top-N) by "
+                         "(opcode class, lane width, size bucket) — the tail "
+                         "attribution the top-N view can't show")
     args = ap.parse_args()
 
     import glob
@@ -214,6 +221,86 @@ def main():
         op_times[name] += e.get("dur", 0) / 1e6
 
     comps = table.get("__computations__", {})
+
+    if args.dump:
+        recs = []
+        for name, dur in op_times.items():
+            info = table.get(name, {})
+            called = comps.get(info.get("calls") or "") or {}
+            recs.append({
+                "op": name, "hlo_op": info.get("op", "?"),
+                "ms_per_step": round(dur / args.steps * 1e3, 4),
+                "dims": info.get("dims", []),
+                "flops": info.get("flops", 0) + called.get("flops", 0),
+                "body": sorted(called.get("ops", [])),
+                "operand_dims": [table[o]["dims"] for o in
+                                 info.get("operands", []) if o in table],
+            })
+        recs.sort(key=lambda r: -r["ms_per_step"])
+        with open(args.dump, "w") as fh:
+            json.dump(recs, fh)
+        print(f"dumped {len(recs)} op records -> {args.dump}")
+
+    if args.agg:
+        # Tail attribution: every traced device op, grouped by
+        # (opcode-class, lane width C, row bucket). The UNet levels are
+        # separable by C (320/640/1280[/2560 skip-concat]) and the rows
+        # (= elements/C) collapse to the per-level spatial*batch products,
+        # so this table says exactly where the sub-top-N ms/step live.
+        groups = collections.defaultdict(lambda: [0.0, 0, 0, 0.0])
+        unmatched = [0.0, 0]
+        for name, dur in op_times.items():
+            per_step = dur / args.steps
+            info = table.get(name)
+            if info is None:
+                unmatched[0] += per_step
+                unmatched[1] += 1
+                continue
+            opclass = info.get("op", "?")
+            flops = info.get("flops", 0)
+            called = comps.get(info.get("calls") or "")
+            if called:
+                flops += called["flops"]
+            if opclass == "fusion":
+                if called and "convolution" in called["ops"]:
+                    opclass = "fusion(conv)"
+                elif called and "dot" in called["ops"]:
+                    opclass = "fusion(dot)"
+                elif called and "reduce" in called["ops"]:
+                    opclass = "fusion(reduce)"
+            dims = info.get("dims", [])
+            c = dims[-1] if dims else 0
+            elems = 1
+            for d in dims:
+                elems *= d
+            rows_n = elems // c if c else 0
+            # bucket rows to decades so levels group cleanly
+            rb = 0
+            while rows_n >= 10:
+                rows_n //= 10
+                rb += 1
+            key = (opclass, c, rb)
+            g = groups[key]
+            g[0] += per_step
+            g[1] += 1
+            g[2] = max(g[2], elems)
+            g[3] += flops
+        out = [{"opclass": k[0], "lane_c": k[1], "rows_1e": k[2],
+                "ms_per_step": round(v[0] * 1e3, 3), "n_ops": v[1],
+                "max_elems": v[2],
+                "tflops": round(v[3] / v[0] / 1e12, 1) if v[0] else 0.0,
+                "pct_of_mxu": round(100 * v[3] / v[0] / 1e12 / 197.0, 1)
+                if v[0] else 0.0}
+               for k, v in groups.items()]
+        out.sort(key=lambda r: -r["ms_per_step"])
+        total = sum(r["ms_per_step"] for r in out)
+        print(json.dumps({
+            "geometry": args.geometry, "total_ms_per_step": round(total, 1),
+            "unmatched_ms": round(unmatched[0] * 1e3, 2),
+            "unmatched_ops": unmatched[1],
+            "groups": out[:80]}, indent=1))
+        return
+
     rows = []
     for name, dur in op_times.most_common(args.top * 3):
         per_step = dur / args.steps

@@ -26,6 +26,18 @@ import jax.numpy as jnp
 
 from ..ops.attention import multi_head_attention, ring_active
 
+# Gate for the XL-geometry layout fixes (frame-major checkerboard temporal
+# attention; 1x1-conv spatial projections): measured WIN at the XL geometry
+# (level-0 N=9216: the posmajor hoist transposes cost 95-101 ms/step; with
+# level-1 N=2304/F=24 included the step is -50.5 ms) but a small LOSS at the
+# standard geometry (N=2880/F=16: +3-6 ms/step of new layout-crossing
+# copies). docs/PERF_NOTES.md round 4.
+_FM_MIN_TOKENS = 4096
+
+
+def _wants_fm_layout(f: int, n: int) -> bool:
+    return n >= _FM_MIN_TOKENS or (f >= 24 and n >= 1024)
+
 
 def _kernel_impl(env_var: str) -> str:
     """Per-kernel dispatch: '' -> auto (pallas on TPU, xla elsewhere);
@@ -170,11 +182,15 @@ class _DenseParams(nn.Module):
     Dense-compatible checkpoints. Same param names + init draws as nn.Dense."""
 
     features: int
+    use_bias: bool = True   # False matches nn.Dense(use_bias=False)'s tree
+    kernel_init: Callable = nn.initializers.lecun_normal()
 
     @nn.compact
     def __call__(self, in_features: int):
-        k = self.param("kernel", nn.initializers.lecun_normal(),
+        k = self.param("kernel", self.kernel_init,
                        (in_features, self.features), jnp.float32)
+        if not self.use_bias:
+            return k, None
         b = self.param("bias", nn.initializers.zeros, (self.features,),
                        jnp.float32)
         return k, b
@@ -223,6 +239,34 @@ class Attention(nn.Module):
     def __call__(self, x: jax.Array, context: Optional[jax.Array] = None) -> jax.Array:
         ctx = x if context is None else context
         inner = self.num_heads * self.head_dim
+        from ..ops.attention import wants_native_mh
+
+        if not self.zero_init_out and wants_native_mh(
+                x.shape[1], ctx.shape[1], self.num_heads, self.head_dim):
+            # multi-head-NATIVE path: the flash kernel consumes the
+            # projections' (B, S, H*dp) layout, so the 4 head-major HBM
+            # transposes of the classic schedule never exist. Head strips
+            # are zero-padded to 128 lanes at the WEIGHT (free at runtime;
+            # exact — zero terms in QK, zero output lanes through PV).
+            # Param trees are identical to the nn.Dense branch below, so
+            # checkpoints and init draws are branch-agnostic.
+            from ..ops.pallas.flash_attention import (flash_attention_mh,
+                                                      pad_head_columns,
+                                                      pad_head_rows)
+
+            dt = self.dtype
+            wq, _ = _DenseParams(inner, use_bias=False, name="to_q")(x.shape[-1])
+            wk, _ = _DenseParams(inner, use_bias=False, name="to_k")(ctx.shape[-1])
+            wv, _ = _DenseParams(inner, use_bias=False, name="to_v")(ctx.shape[-1])
+            h_, d_ = self.num_heads, self.head_dim
+            qp = jnp.dot(x.astype(dt), pad_head_columns(wq.astype(dt), h_, d_))
+            kp = jnp.dot(ctx.astype(dt), pad_head_columns(wk.astype(dt), h_, d_))
+            vp = jnp.dot(ctx.astype(dt), pad_head_columns(wv.astype(dt), h_, d_))
+            o = flash_attention_mh(qp, kp, vp, heads=h_, head_dim=d_)
+            wo, bo = _DenseParams(self.out_dim, name="to_out")(inner)
+            return (jnp.dot(o, pad_head_rows(wo.astype(dt), h_, d_))
+                    + bo.astype(dt))
+
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
         k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
         v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
@@ -297,6 +341,39 @@ class SpatialTransformer(nn.Module):
         else:
             h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6,
                              dtype=self.dtype, name="norm")(x)
+        import os as _os_
+
+        _forced_proj = _os_.environ.get("DVDX_SPATIAL_PROJ_IMPL", "")
+        if (_forced_proj == "pallas"
+                or (not _forced_proj and jax.default_backend() == "tpu"
+                    and hh * ww >= _FM_MIN_TOKENS)):
+            # (force with DVDX_SPATIAL_PROJ_IMPL=pallas|xla for A/Bs and CPU
+            # tests; auto-gated to XL-class folds — see _FM_MIN_TOKENS.)
+            # Run proj_in/out as the 1x1 convs they are in diffusers
+            # (use_linear_projection=False): on TPU the Dense form lowers via
+            # an EmitInputBatchInLanes conv emitter whose token-minor input
+            # layout forces a full-tensor f32 relayout of the GN output —
+            # ~0.94 ms per call at XL, 54 ms/step total (round-4 HLO dump).
+            # As a real NHWC 1x1 conv the GN apply fuses into the conv and
+            # the stream keeps the spatial-conv layout. Same params (the
+            # (C, C) Dense tree; kernels reshaped at trace time), same math.
+            w_in, b_in = _DenseParams(c, name="proj_in")(c)
+            dn = ("NHWC", "HWIO", "NHWC")
+            h = jax.lax.conv_general_dilated(
+                h.astype(self.dtype), w_in.astype(self.dtype)[None, None],
+                (1, 1), "VALID", dimension_numbers=dn) + b_in.astype(self.dtype)
+            h = h.reshape(n, hh * ww, c)
+            for i in range(self.depth):
+                h = BasicTransformerBlock(
+                    c, self.num_heads, self.head_dim, self.cross_attention_dim,
+                    dtype=self.dtype, name=f"block{i}",
+                )(h, context)
+            w_out, b_out = _DenseParams(c, name="proj_out_zero",
+                                        kernel_init=nn.initializers.zeros)(c)
+            h = jax.lax.conv_general_dilated(
+                h.reshape(n, hh, ww, c), w_out.astype(self.dtype)[None, None],
+                (1, 1), "VALID", dimension_numbers=dn) + b_out.astype(self.dtype)
+            return residual + h
         h = h.reshape(n, hh * ww, c)
         h = nn.Dense(c, dtype=self.dtype, name="proj_in")(h)
         for i in range(self.depth):
@@ -397,15 +474,29 @@ class _FrameAxisAttention(nn.Module):
             return nn.Dense(self.out_dim, dtype=self.dtype, name="to_out")(o)
         if not ring_active():
             from ..ops.pallas.temporal_attention import (choose_blocking,
-                                                         temporal_attention)
+                                                         choose_blocking_fm,
+                                                         temporal_attention,
+                                                         temporal_attention_fm)
 
-            if (_kernel_impl("DVDX_TEMPORAL_ATTN_IMPL") in ("pallas",
-                                                            "pallas_fm")
+            impl = _kernel_impl("DVDX_TEMPORAL_ATTN_IMPL")
+            if (impl == "pallas"
+                    and choose_blocking_fm(f, inner, self.num_heads)[0] > 0
+                    and self.head_dim <= 128 and n >= 64):
+                # checkerboard-packed MXU kernel consuming the NATIVE
+                # (B, F, N, H*D) layout: no HBM logits, no relayouts on
+                # EITHER side. Reached when the parent declined the posmajor
+                # hoist — XL-class folds (the hoist transposes cost
+                # 95-101 ms/step there) or posmajor-illegal F. At standard
+                # folds the parent prefers posmajor (fm measured +3 ms/step
+                # of new layout-crossing copies; docs/PERF_NOTES.md round 4).
+                o = temporal_attention_fm(q, k, v, heads=self.num_heads)
+                return nn.Dense(self.out_dim, dtype=self.dtype,
+                                name="to_out")(o)
+            if (impl == "pallas_fm"
                     and choose_blocking(f, inner, self.num_heads)[0] > 0
                     and self.head_dim <= 128 and n >= 64):
-                # packed block-diagonal MXU kernel, native (B, F, N, H*D)
-                # layout: no HBM logits, no relayouts (round-3 profile: the
-                # einsum path's softmax chain alone cost ~22 ms/step)
+                # packed block-diagonal MXU kernel (in-VMEM repack variant,
+                # kept for A/B: DVDX_TEMPORAL_ATTN_IMPL=pallas_fm)
                 o = temporal_attention(q, k, v, heads=self.num_heads)
                 return nn.Dense(self.out_dim, dtype=self.dtype,
                                 name="to_out")(o)
@@ -521,11 +612,23 @@ class TransformerTemporal(nn.Module):
         return residual + h
 
     def _use_posmajor(self, f: int, n: int) -> bool:
+        """Hoist to position-major (one transpose pair per module feeding the
+        posmajor kernel) — the measured-best layout at STANDARD-class folds.
+        At XL-class folds (n >= _FM_MIN_TOKENS) the hoist transposes cost
+        95-101 ms/step, so the parent declines and _FrameAxisAttention runs
+        the frame-major checkerboard kernel instead (-50 ms/step measured).
+        Env: 'posmajor' forces the hoist at any size, 'pallas' forces the
+        fm kernel (no hoist); auto ('') applies the gate."""
         if ring_active() or self.head_dim > 128 or n < 64:
             return False
-        if _kernel_impl("DVDX_TEMPORAL_ATTN_IMPL") not in ("pallas",
-                                                           "posmajor"):
-            return False   # 'pallas_fm' / 'xla' keep the frame-major paths
+        import os
+
+        forced = os.environ.get("DVDX_TEMPORAL_ATTN_IMPL", "")
+        if forced and forced != "posmajor":
+            return False
+        if not forced and (jax.default_backend() != "tpu"
+                           or _wants_fm_layout(f, n)):
+            return False
         from ..ops.pallas.temporal_attention import choose_blocking_posmajor
 
         return choose_blocking_posmajor(

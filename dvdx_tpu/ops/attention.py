@@ -35,6 +35,30 @@ _PALLAS_MAX_HEAD_DIM = 128
 _FORCED_IMPL = _os.environ.get("DVDX_ATTN_IMPL", "")
 
 
+def wants_native_mh(s_q: int, s_kv: int, heads: int, head_dim: int) -> bool:
+    """True when layers.Attention should take the multi-head-NATIVE pallas
+    path (ops/pallas/flash_attention.flash_attention_mh): the kernel consumes
+    the projections' (B, S, H*dp) layout directly, eliminating the 4
+    head-major transpose copies per call that the classic (B*H, S, D)
+    schedule materialises (~9 ms/step std, ~35 ms/step XL — fusion_attrib
+    round-4 tail dump). Env override DVDX_ATTN_MH_IMPL: 'xla' disables,
+    'pallas' forces intent (still requires TPU + shape gates)."""
+    forced = _os.environ.get("DVDX_ATTN_MH_IMPL", "")
+    if forced != "pallas":
+        # opt-in until the blocked mh schedule beats the classic path
+        # in-model (standalone: VMEM-bound at hdp-wide blocks; see
+        # benchmarks/attn_mh_ab.py)
+        return False
+    if head_dim > 128 or s_q < _PALLAS_MIN_SEQ:
+        return False
+    from .pallas.flash_attention import _divisor_block
+
+    if _divisor_block(s_q, 1024, None) is None:
+        return False
+    # self-attention, or short cross-attention context (one-pass + mask)
+    return s_kv == s_q or s_kv <= 512
+
+
 def _xla_attention(q, k, v, scale: float) -> jax.Array:
     """q: (B, S, H, D), k/v: (B, T, H, D) -> (B, S, H, D)."""
     logits = jnp.einsum("bshd,bthd->bhst", q, k, preferred_element_type=jnp.float32)

@@ -106,6 +106,131 @@ def choose_blocking_posmajor(frames: int, hd: int, heads: int
     return w, gpp * w
 
 
+def choose_blocking_fm(frames: int, hd: int, heads: int) -> tuple[int, int]:
+    """Blocking for the FRAME-MAJOR checkerboard kernel: (wsub, m).
+
+    Each MXU tile packs wsub=8 positions x F frames with rows in (f, w)
+    order — a FREE view of the frame-major block — and a checkerboard
+    additive mask (0 iff same position) replaces the posmajor kernel's
+    block-diagonal one. wsub is pinned to the 8-row sublane granule, so the
+    logits waste factor is 8 (vs W=floor(128/F) posmajor — identical at
+    F=16, 8/5 at F=24); in exchange the module needs NO position-major HBM
+    relayout at all (those transposes measured 95-101 ms/step at XL,
+    fusion_attrib round-4 dump) and F needs no 8-divisibility.
+
+    m = tiles per grid step from the compiler-measured VMEM constant: the
+    first cut (m=10 at F=16/HD=320) was reported at 16.12 MB on the stack,
+    i.e. ~38 B per packed element (double-buffered io, regroup views, f32
+    logits/probs with early casts), plus a flat live-logits term. Budget
+    9 MB for headroom; wide shapes that only fit a single tile get m=1 up
+    to a 14 MB ceiling. Returns (0, 0) if F > 128 or nothing fits."""
+    if frames > 128:
+        return 0, 0
+    r = 8 * frames
+    head_term = 3 * r * r * 4
+    per_tile = 38 * 8 * frames * hd
+    m = min((9 * 2**20 - head_term) // per_tile, 16)
+    if m < 1:
+        if head_term + per_tile <= 14 * 2**20:
+            return 8, 1
+        return 0, 0
+    return 8, int(m)
+
+
+def _checkerboard_bias(wsub: int, f: int) -> jax.Array:
+    """(R, R) f32 additive mask for (f, w)-ordered packed rows: 0 where both
+    rows belong to the same position (i % wsub == j % wsub), -inf across
+    positions. Static -> folds to a constant."""
+    r = wsub * f
+    idx = jnp.arange(r, dtype=jnp.int32) % wsub
+    return jnp.where(idx[:, None] == idx[None, :], 0.0, NEG_INF).astype(
+        jnp.float32)
+
+
+def _temporal_kernel_fm(q_ref, k_ref, v_ref, bias_ref, o_ref, *,
+                        scale: float, m: int, wsub: int, n_positions: int,
+                        heads: int, d: int):
+    # refs: (1, F, bp, HD) FRAME-major, bp = m*wsub. The regroup to m packed
+    # (R = F*wsub, HD) tiles splits the position axis at sublane-tile
+    # boundaries and permutes whole (wsub, HD) planes — tile-granular vreg
+    # moves, NOT the sublane-level (bp, F) swap that made the original
+    # frame-major kernel run 5-7x above its HBM floor (round-3b profile).
+    f, bp, hd = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
+
+    def regroup(ref):
+        x = ref[0].reshape(f, m, wsub, hd)
+        x = jnp.swapaxes(x, 0, 1)              # (m, F, wsub, HD): plane moves
+        return x.reshape(m, f * wsub, hd)      # rows (f, w): free merge
+
+    qt, kt, vt = regroup(q_ref), regroup(k_ref), regroup(v_ref)
+    if n_positions % bp:
+        # ragged position tail: zero out-of-range K/V rows (unspecified bits
+        # would poison the 0-weighted PV products via NaN); Q rows need no
+        # mask — their outputs are discarded by the clipped write-back.
+        g = jax.lax.broadcasted_iota(jnp.int32, (m, f * wsub, 1), 0)
+        j = jax.lax.broadcasted_iota(jnp.int32, (m, f * wsub, 1), 1)
+        pos = pl.program_id(1) * bp + g * wsub + j % wsub
+        valid = pos < n_positions
+        kt = jnp.where(valid, kt, 0)
+        vt = jnp.where(valid, vt, 0)
+    bias = bias_ref[...][None, :, :]  # (1, R, R)
+    o = _packed_heads_attend(qt, kt, vt, bias, o_ref.dtype, scale=scale,
+                             heads=heads, d=d)
+    o = jnp.swapaxes(o.reshape(m, f, wsub, hd), 0, 1)
+    o_ref[0] = o.reshape(f, bp, hd)
+
+
+def temporal_attention_fm(q: jax.Array, k: jax.Array, v: jax.Array, *,
+                          heads: int, scale: float | None = None,
+                          block_positions: int | None = None,
+                          interpret: bool = False) -> jax.Array:
+    """Frame-axis self-attention consuming the NATIVE (B, F, N, heads*D)
+    layout — no HBM relayout on either side (the posmajor variant's hoisted
+    transposes cost ~7 ms/step std and ~95-101 ms/step XL). Packing is
+    (f, w)-ordered with a checkerboard mask; same math as the other
+    variants (tests assert equality vs the einsum reference)."""
+    b, f, n, hd = q.shape
+    d = hd // heads
+    if scale is None:
+        scale = d**-0.5
+    wsub, m_auto = choose_blocking_fm(f, hd, heads)
+    if wsub == 0:
+        raise ValueError(f"no frame-major packing for F={f} (need F<=128)")
+    if block_positions is not None:
+        bp = block_positions
+        m = bp // wsub
+    else:
+        m = max(1, min(m_auto, pl.cdiv(n, wsub)))
+        bp = m * wsub
+        # prefer a bp that divides n: compiles out the ragged-tail K/V mask
+        for cand in range(bp, max(wsub, bp // 2) - 1, -wsub):
+            if n % cand == 0:
+                bp = cand
+                m = bp // wsub
+                break
+    grid = (b, pl.cdiv(n, bp))
+    bias = _checkerboard_bias(wsub, f)
+    kernel = functools.partial(_temporal_kernel_fm, scale=float(scale), m=m,
+                               wsub=wsub, n_positions=n, heads=heads, d=d)
+    interpret = interpret or jax.default_backend() != "tpu"
+    r = wsub * f
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, f, bp, hd), lambda ib, ip: (ib, 0, ip, 0)),
+            pl.BlockSpec((1, f, bp, hd), lambda ib, ip: (ib, 0, ip, 0)),
+            pl.BlockSpec((1, f, bp, hd), lambda ib, ip: (ib, 0, ip, 0)),
+            pl.BlockSpec((r, r), lambda ib, ip: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, f, bp, hd), lambda ib, ip: (ib, 0, ip, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, f, n, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=interpret,
+    )(q, k, v, bias)
+
+
 def _block_diag_bias(w: int, f: int) -> jax.Array:
     """(R, R) f32 additive mask: 0 inside each position's (F, F) diagonal
     block, -inf across positions. Static -> folds to a constant."""

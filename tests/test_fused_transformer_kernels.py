@@ -208,6 +208,82 @@ def test_temporal_attention_posmajor_matches_reference(b, f, n, h, d):
                                atol=2e-5, rtol=2e-5)
 
 
+def test_spatial_proj_conv1x1_path_agrees(monkeypatch):
+    """SpatialTransformer's 1x1-conv proj path (TPU default) must match the
+    Dense path with the SAME param tree (checkpoints branch-agnostic)."""
+    import jax
+    from dvdx_tpu.models.layers import SpatialTransformer
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(2, 8, 9, 32)), jnp.float32)
+    ctx = jnp.asarray(rng.normal(size=(2, 7, 48)), jnp.float32)
+    mod = SpatialTransformer(2, 16, cross_attention_dim=48, groups=8,
+                             dtype=jnp.float32)
+    monkeypatch.setenv("DVDX_SPATIAL_PROJ_IMPL", "xla")
+    params = mod.init(jax.random.PRNGKey(0), x, ctx)
+    ref = mod.apply(params, x, ctx)
+    monkeypatch.setenv("DVDX_SPATIAL_PROJ_IMPL", "pallas")
+    params_c = mod.init(jax.random.PRNGKey(0), x, ctx)
+    assert sorted(_tree_paths(params)) == sorted(_tree_paths(params_c))
+    out = mod.apply(params, x, ctx)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
+
+
+# --- frame-major checkerboard variant (round 4): consumes the NATIVE
+# (B, F, N, HD) layout — no position-major HBM transposes at all (those cost
+# ~95-101 ms/step at XL) ------------------------------------------------------
+
+
+@pytest.mark.parametrize("b,f,n,h,d", [
+    (1, 16, 64, 2, 64),
+    (2, 16, 96, 1, 32),
+    (1, 24, 40, 2, 64),    # XL frame count; n not a multiple of bp
+    (1, 16, 50, 1, 64),    # ragged position tail
+    (1, 8, 200, 2, 40),    # transformer_in head_dim=40
+    (1, 12, 64, 3, 32),    # F % 8 != 0 (illegal for posmajor, fine here)
+    (1, 4, 24, 2, 16),     # tiny-test scale
+])
+def test_temporal_attention_fm_matches_reference(b, f, n, h, d):
+    from dvdx_tpu.ops.pallas.temporal_attention import temporal_attention_fm
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(b, f, n, h * d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, f, n, h * d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, f, n, h * d)).astype(np.float32))
+    ref = temporal_attention_reference(q, k, v, heads=h)
+    out = temporal_attention_fm(q, k, v, heads=h, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_temporal_attention_fm_bf16_close():
+    from dvdx_tpu.ops.pallas.temporal_attention import temporal_attention_fm
+
+    rng = np.random.default_rng(4)
+    shape = (2, 16, 80, 2 * 64)
+    q = jnp.asarray(rng.normal(size=shape), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=shape), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=shape), jnp.bfloat16)
+    ref = temporal_attention_reference(q, k, v, heads=2).astype(jnp.float32)
+    out = temporal_attention_fm(q, k, v, heads=2,
+                                interpret=True).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-2, rtol=3e-2)
+
+
+@pytest.mark.parametrize("f,hd,heads", [
+    (16, 320, 8), (24, 320, 8), (24, 1280, 20), (12, 384, 6), (4, 64, 2),
+])
+def test_choose_blocking_fm_legal(f, hd, heads):
+    from dvdx_tpu.ops.pallas.temporal_attention import choose_blocking_fm
+
+    wsub, m = choose_blocking_fm(f, hd, heads)
+    assert wsub == 8 and m >= 1
+    # io blocks (3x in + out, double-buffered) stay within the VMEM budget
+    assert 4 * m * wsub * f * hd * 2 <= 10 * 2**20
+
+
 def test_posmajor_equals_framemajor_kernel():
     """Both kernels compute the same packed attention — feeding the same
     logical tensor through either layout must agree."""
