@@ -43,13 +43,17 @@ def main():
     key = rng_ops.base_key(7)
     params = jax.device_put(pipe.params)
 
+    def force(x):
+        # block_until_ready can return before execution finishes on the
+        # tunnelled runtime (CLAUDE.md timing gotcha) — end with a real
+        # host fetch
+        return float(jnp.sum(x[::5].astype(jnp.float32)))
+
     t0 = time.time()
-    frames = run(params, ids, key)
-    jax.block_until_ready(frames)
+    force(run(params, ids, key))
     compile_s = time.time() - t0
     t0 = time.time()
-    frames = run(params, ids, key)
-    jax.block_until_ready(frames)
+    force(run(params, ids, key))
     sec = time.time() - t0
     print(json.dumps({
         "workload": "zeroscope-XL 24f@1024x576, 50 steps, 1 chip (cfg_split)",

@@ -528,6 +528,72 @@ class _FrameAxisAttention(nn.Module):
         return nn.Dense(self.out_dim, dtype=self.dtype, name="to_out")(o.astype(self.dtype))
 
 
+class _LNParams(nn.Module):
+    """nn.LayerNorm's parameter tree (scale ones, bias zeros, f32) without
+    its compute — for kernels that fuse the norm."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.features,),
+                       jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        return s, b
+
+
+class _AttnParams(nn.Module):
+    """_FrameAxisAttention's parameter tree (to_q/to_k/to_v kernel-only,
+    to_out kernel+bias) without its compute."""
+
+    inner: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        q, _ = _DenseParams(self.inner, use_bias=False, name="to_q")(in_features)
+        k, _ = _DenseParams(self.inner, use_bias=False, name="to_k")(in_features)
+        v, _ = _DenseParams(self.inner, use_bias=False, name="to_v")(in_features)
+        ow, ob = _DenseParams(self.out_dim, name="to_out")(self.inner)
+        return q, k, v, ow, ob
+
+
+class _FFParams(nn.Module):
+    """GEGLUFeedForward's parameter tree (proj_in/proj_out kernel+bias,
+    mult=4) without its compute."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        inner = self.dim * 4
+        wi, bi = _DenseParams(inner * 2, name="proj_in")(self.dim)
+        wo, bo = _DenseParams(self.dim, name="proj_out")(inner)
+        return wi, bi, wo, bo
+
+
+def _fused_block_wants(f: int, n: int, dim: int, heads: int) -> bool:
+    """True when _TemporalBlock should run as ONE pallas kernel
+    (ops/pallas/temporal_block) — TPU, frame-major, resident-weight bound.
+    Env DVDX_TEMPORAL_BLOCK_IMPL: 'pallas' forces, 'xla' disables."""
+    import os
+
+    if ring_active():
+        return False
+    forced = os.environ.get("DVDX_TEMPORAL_BLOCK_IMPL", "")
+    if forced:
+        if forced != "pallas":
+            return False
+    elif (n < 64 or jax.default_backend() != "tpu"
+          or os.environ.get("DVDX_TEMPORAL_ATTN_IMPL", "")):
+        # an explicit temporal-attn override selects that unfused path
+        return False
+    from ..ops.pallas.temporal_block import choose_blocking_block
+
+    return choose_blocking_block(f, dim, heads)[0] > 0
+
+
 class _TemporalBlock(nn.Module):
     """BasicTransformerBlock semantics on (B, F, N, C) with frame-axis
     attention (attn1 AND attn2 — diffusers double_self_attention). Same
@@ -542,6 +608,40 @@ class _TemporalBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        if (not self.posmajor
+                and _fused_block_wants(x.shape[1], x.shape[2], self.dim,
+                                       self.num_heads)):
+            # whole-block pallas kernel: x streams HBM->VMEM once, every
+            # weight resident, LN stats in registers, packed checkerboard
+            # attention — the unfused stream's per-op costs (LN stats
+            # passes, token-minor projection matmuls, launch overheads)
+            # were 23 ms/step at the standard geometry's level 0 alone
+            # (docs/PERF_NOTES.md round 4). Param tree identical to the
+            # unfused branch below — checkpoints are branch-agnostic.
+            from ..ops.pallas.temporal_block import fused_temporal_block
+
+            inner = self.dim * 4
+            ln1 = _LNParams(self.dim, name="norm1")()
+            ln2 = _LNParams(self.dim, name="norm2")()
+            ln3 = _LNParams(self.dim, name="norm3")()
+            a1 = _AttnParams(self.num_heads * self.head_dim, self.dim,
+                             name="attn1")(self.dim)
+            a2 = _AttnParams(self.num_heads * self.head_dim, self.dim,
+                             name="attn2")(self.dim)
+            ff = _FFParams(self.dim, name="ff")()
+            params = {
+                "ln1_s": ln1[0], "ln1_b": ln1[1],
+                "q1": a1[0], "k1": a1[1], "v1": a1[2],
+                "o1_w": a1[3], "o1_b": a1[4],
+                "ln2_s": ln2[0], "ln2_b": ln2[1],
+                "q2": a2[0], "k2": a2[1], "v2": a2[2],
+                "o2_w": a2[3], "o2_b": a2[4],
+                "ln3_s": ln3[0], "ln3_b": ln3[1],
+                "ffi_w": ff[0], "ffi_b": ff[1],
+                "ffo_w": ff[2], "ffo_b": ff[3],
+            }
+            return fused_temporal_block(x.astype(self.dtype), params,
+                                        heads=self.num_heads, eps=self.eps)
         h = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="norm1")(x)
         x = x + _FrameAxisAttention(self.num_heads, self.head_dim, self.dim,
                                     dtype=self.dtype, posmajor=self.posmajor,
@@ -598,9 +698,31 @@ class TransformerTemporal(nn.Module):
         # swapaxes that kept the frame-major kernel 5-7x above its HBM floor
         # (round-3b XL profile). LN/Dense/GEGLU between the transposes are
         # last-axis ops, so the whole block runs position-major.
-        pm = self._use_posmajor(f, hh * ww)
+        pm = self._use_posmajor(f, hh * ww, c)
         if pm:
             h = jnp.swapaxes(h, 1, 2)
+        if not pm and self._proj_as_conv(f, hh * ww):
+            # XL-class folds: proj_in/out as NHWC 1x1 convs over the
+            # (B*F, H, W, C) view — the Dense form lowers through a
+            # token-minor conv emitter that relays the full tensor around
+            # each projection (same pathology as SpatialTransformer's
+            # proj_in; see that branch). Same params, same math.
+            w_in, b_in = _DenseParams(c, name="proj_in")(c)
+            dn = ("NHWC", "HWIO", "NHWC")
+            h4 = h.reshape(b * f, hh, ww, c)
+            h4 = jax.lax.conv_general_dilated(
+                h4.astype(self.dtype), w_in.astype(self.dtype)[None, None],
+                (1, 1), "VALID", dimension_numbers=dn) + b_in.astype(self.dtype)
+            h = _TemporalBlock(c, self.num_heads, self.head_dim,
+                               dtype=self.dtype, posmajor=False,
+                               name="block0")(h4.reshape(b, f, hh * ww, c))
+            w_out, b_out = _DenseParams(c, name="proj_out_zero",
+                                        kernel_init=nn.initializers.zeros)(c)
+            h4 = jax.lax.conv_general_dilated(
+                h.reshape(b * f, hh, ww, c),
+                w_out.astype(self.dtype)[None, None],
+                (1, 1), "VALID", dimension_numbers=dn) + b_out.astype(self.dtype)
+            return residual + h4.reshape(b, f, hh, ww, c)
         h = nn.Dense(c, dtype=self.dtype, name="proj_in")(h)
         h = _TemporalBlock(c, self.num_heads, self.head_dim,
                            dtype=self.dtype, posmajor=pm, name="block0")(h)
@@ -611,15 +733,29 @@ class TransformerTemporal(nn.Module):
         h = h.reshape(b, f, hh, ww, c)
         return residual + h
 
-    def _use_posmajor(self, f: int, n: int) -> bool:
+    def _proj_as_conv(self, f: int, n: int) -> bool:
+        # TPU default wherever the posmajor hoist is off (fused-block or fm
+        # rows): measured -1.8 ms/step at std on top of the fused block and
+        # part of the -130 ms/step XL total (docs/PERF_NOTES.md round 4b)
+        import os
+
+        forced = os.environ.get("DVDX_TEMPORAL_PROJ_IMPL", "")
+        if forced:
+            return forced == "pallas"
+        return jax.default_backend() == "tpu"
+
+    def _use_posmajor(self, f: int, n: int, c: int) -> bool:
         """Hoist to position-major (one transpose pair per module feeding the
         posmajor kernel) — the measured-best layout at STANDARD-class folds.
         At XL-class folds (n >= _FM_MIN_TOKENS) the hoist transposes cost
         95-101 ms/step, so the parent declines and _FrameAxisAttention runs
         the frame-major checkerboard kernel instead (-50 ms/step measured).
+        The fused whole-block kernel (frame-major) preempts both.
         Env: 'posmajor' forces the hoist at any size, 'pallas' forces the
         fm kernel (no hoist); auto ('') applies the gate."""
         if ring_active() or self.head_dim > 128 or n < 64:
+            return False
+        if _fused_block_wants(f, n, c, self.num_heads):
             return False
         import os
 

@@ -208,6 +208,88 @@ def test_temporal_attention_posmajor_matches_reference(b, f, n, h, d):
                                atol=2e-5, rtol=2e-5)
 
 
+# --- fused whole-block kernel (round 4b): LN x3 + both packed attentions +
+# GEGLU FF as ONE pallas kernel, weights VMEM-resident ------------------------
+
+
+@pytest.mark.parametrize("b,f,n,h,d", [
+    (1, 16, 64, 2, 64),
+    (2, 16, 96, 1, 32),
+    (1, 24, 40, 2, 64),    # XL frame count, ragged position tail
+    (1, 8, 200, 2, 40),    # transformer_in head geometry (d=40, unaligned)
+    (1, 4, 24, 2, 16),     # tiny-test scale
+])
+def test_fused_temporal_block_matches_unfused(b, f, n, h, d, monkeypatch):
+    """The whole-block kernel must equal the unfused _TemporalBlock (einsum
+    attention path) on the same params."""
+    import jax
+    from dvdx_tpu.models.layers import _TemporalBlock
+
+    dim = h * d
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(b, f, n, dim)).astype(np.float32))
+    mod = _TemporalBlock(dim, h, d, dtype=jnp.float32)
+    monkeypatch.setenv("DVDX_TEMPORAL_BLOCK_IMPL", "xla")
+    monkeypatch.setenv("DVDX_TEMPORAL_ATTN_IMPL", "xla")
+    params = mod.init(jax.random.PRNGKey(0), x)
+    ref = mod.apply(params, x)
+    monkeypatch.setenv("DVDX_TEMPORAL_BLOCK_IMPL", "pallas")
+    monkeypatch.delenv("DVDX_TEMPORAL_ATTN_IMPL")
+    params_f = mod.init(jax.random.PRNGKey(0), x)
+    assert sorted(_tree_paths(params)) == sorted(_tree_paths(params_f))
+    out = mod.apply(params, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_fused_temporal_block_bf16_close(monkeypatch):
+    import jax
+    from dvdx_tpu.models.layers import _TemporalBlock
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(1, 16, 72, 128)), jnp.bfloat16)
+    mod = _TemporalBlock(128, 2, 64, dtype=jnp.bfloat16)
+    monkeypatch.setenv("DVDX_TEMPORAL_BLOCK_IMPL", "xla")
+    monkeypatch.setenv("DVDX_TEMPORAL_ATTN_IMPL", "xla")
+    params = mod.init(jax.random.PRNGKey(0), x)
+    ref = mod.apply(params, x).astype(jnp.float32)
+    monkeypatch.setenv("DVDX_TEMPORAL_BLOCK_IMPL", "pallas")
+    monkeypatch.delenv("DVDX_TEMPORAL_ATTN_IMPL")
+    out = mod.apply(params, x).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-2, rtol=5e-2)
+
+
+def test_fused_block_respects_resident_weight_bound():
+    from dvdx_tpu.ops.pallas.temporal_block import choose_blocking_block
+
+    assert choose_blocking_block(16, 320, 5)[0] == 8
+    assert choose_blocking_block(24, 320, 5)[0] == 8
+    assert choose_blocking_block(16, 640, 10) == (0, 0)   # weights too big
+    assert choose_blocking_block(16, 1280, 20) == (0, 0)
+
+
+def test_temporal_proj_conv1x1_path_agrees(monkeypatch):
+    """TransformerTemporal's 1x1-conv proj path (XL-class folds on TPU) must
+    match the Dense path with the SAME param tree."""
+    import jax
+    from dvdx_tpu.models.layers import TransformerTemporal
+
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.normal(size=(1, 16, 9, 8, 32)), jnp.float32)
+    mod = TransformerTemporal(2, 16, groups=8, dtype=jnp.float32)
+    monkeypatch.setenv("DVDX_TEMPORAL_ATTN_IMPL", "xla")
+    monkeypatch.setenv("DVDX_TEMPORAL_PROJ_IMPL", "xla")
+    params = mod.init(jax.random.PRNGKey(0), x)
+    ref = mod.apply(params, x)
+    monkeypatch.setenv("DVDX_TEMPORAL_PROJ_IMPL", "pallas")
+    params_c = mod.init(jax.random.PRNGKey(0), x)
+    assert sorted(_tree_paths(params)) == sorted(_tree_paths(params_c))
+    out = mod.apply(params, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
+
+
 def test_spatial_proj_conv1x1_path_agrees(monkeypatch):
     """SpatialTransformer's 1x1-conv proj path (TPU default) must match the
     Dense path with the SAME param tree (checkpoints branch-agnostic)."""
