@@ -282,6 +282,31 @@ class Attention(nn.Module):
         return nn.Dense(self.out_dim, dtype=self.dtype, kernel_init=out_init, name=out_name)(o)
 
 
+def _fused_spatial_tail_wants(s: int, dim: int, heads: int, head_dim: int,
+                              ctx_tokens: int) -> bool:
+    """True when BasicTransformerBlock's post-attn1 tail should run as ONE
+    pallas kernel (ops/pallas/spatial_tail) — TPU, resident-weight bound.
+    Env DVDX_SPATIAL_BLOCK_IMPL: 'pallas' forces, 'xla' disables."""
+    import os
+
+    if ring_active():
+        return False
+    forced = os.environ.get("DVDX_SPATIAL_BLOCK_IMPL", "")
+    if forced:
+        if forced != "pallas":
+            return False
+    elif (jax.default_backend() != "tpu" or s < 512
+          # explicit attention/FF overrides select those unfused paths
+          or os.environ.get("DVDX_ATTN_IMPL", "") == "xla"
+          or os.environ.get("DVDX_ATTN_MH_IMPL", "") == "pallas"
+          or os.environ.get("DVDX_FF_IMPL", "") == "xla"):
+        return False
+    from ..ops.pallas.spatial_tail import choose_block_rows
+
+    t_pad = max(128, -(-ctx_tokens // 128) * 128)
+    return choose_block_rows(s, dim, heads * head_dim, t_pad) > 0
+
+
 class BasicTransformerBlock(nn.Module):
     """LN->self-attn, LN->cross-attn, LN->GEGLU FF; all residual.
 
@@ -303,6 +328,51 @@ class BasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, context: Optional[jax.Array] = None) -> jax.Array:
+        if (context is not None and not self.double_self
+                and _fused_spatial_tail_wants(
+                    x.shape[1], self.dim, self.num_heads, self.head_dim,
+                    context.shape[1])):
+            # post-attn1 tail as ONE pallas kernel: attn1 keeps its flash
+            # ceiling; the out-proj/LN2/cross-attn/LN3/GEGLU chain — whose
+            # unfused cost is HBM round-trips of x and a materialised
+            # (B, H, S, 77) logit tensor — streams x once. Param tree is
+            # identical to the unfused branch (checkpoints branch-agnostic).
+            from ..ops.pallas.spatial_tail import fused_spatial_tail
+
+            dt = self.dtype
+            inner = self.num_heads * self.head_dim
+            h = nn.LayerNorm(epsilon=self.eps, dtype=dt, name="norm1")(x)
+            q1w, k1w, v1w, o1w, o1b = _AttnParams(
+                inner, self.dim, name="attn1")(self.dim)
+            hd_ = h.astype(dt)
+            b_, s_ = x.shape[0], x.shape[1]
+
+            def heads_(t):
+                return t.reshape(b_, t.shape[1], self.num_heads,
+                                 self.head_dim)
+
+            o = multi_head_attention(heads_(jnp.dot(hd_, q1w.astype(dt))),
+                                     heads_(jnp.dot(hd_, k1w.astype(dt))),
+                                     heads_(jnp.dot(hd_, v1w.astype(dt))))
+            q2w, k2w, v2w, o2w, o2b = _AttnParams(
+                inner, self.dim, name="attn2")(
+                    self.dim, kv_features=context.shape[-1])
+            ctxd = context.astype(dt)
+            ln2 = _LNParams(self.dim, name="norm2")()
+            ln3 = _LNParams(self.dim, name="norm3")()
+            ff = _FFParams(self.dim, name="ff")()
+            params = {
+                "o1_w": o1w, "o1_b": o1b,
+                "ln2_s": ln2[0], "ln2_b": ln2[1], "q2_w": q2w,
+                "o2_w": o2w, "o2_b": o2b,
+                "ln3_s": ln3[0], "ln3_b": ln3[1],
+                "ffi_w": ff[0], "ffi_b": ff[1],
+                "ffo_w": ff[2], "ffo_b": ff[3],
+            }
+            return fused_spatial_tail(
+                x.astype(dt), o.reshape(b_, s_, inner),
+                jnp.dot(ctxd, k2w.astype(dt)), jnp.dot(ctxd, v2w.astype(dt)),
+                params, heads=self.num_heads, eps=self.eps)
         h = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="norm1")(x)
         x = x + Attention(self.num_heads, self.head_dim, self.dim, dtype=self.dtype, name="attn1")(h)
         if self.cross_attention_dim is not None or self.double_self:
@@ -544,17 +614,19 @@ class _LNParams(nn.Module):
 
 
 class _AttnParams(nn.Module):
-    """_FrameAxisAttention's parameter tree (to_q/to_k/to_v kernel-only,
-    to_out kernel+bias) without its compute."""
+    """Attention/_FrameAxisAttention's parameter tree (to_q/to_k/to_v
+    kernel-only, to_out kernel+bias) without its compute. kv_features
+    covers cross-attention (to_k/to_v project from the context dim)."""
 
     inner: int
     out_dim: int
 
     @nn.compact
-    def __call__(self, in_features: int):
+    def __call__(self, in_features: int, kv_features: Optional[int] = None):
+        kvf = in_features if kv_features is None else kv_features
         q, _ = _DenseParams(self.inner, use_bias=False, name="to_q")(in_features)
-        k, _ = _DenseParams(self.inner, use_bias=False, name="to_k")(in_features)
-        v, _ = _DenseParams(self.inner, use_bias=False, name="to_v")(in_features)
+        k, _ = _DenseParams(self.inner, use_bias=False, name="to_k")(kvf)
+        v, _ = _DenseParams(self.inner, use_bias=False, name="to_v")(kvf)
         ow, ob = _DenseParams(self.out_dim, name="to_out")(self.inner)
         return q, k, v, ow, ob
 

@@ -404,3 +404,87 @@ def test_transformer_temporal_module_posmajor_equivalence(monkeypatch):
     out = mod.apply(params, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+# --- fused spatial tail (round 4c): everything after attn1's PV output —
+# out-proj, LN2 + 77-token cross-attention, LN3 + GEGLU FF, residuals — as
+# ONE row-local pallas kernel (attn1 keeps its flash ceiling) ----------------
+
+
+@pytest.mark.parametrize("b,s,h,d,t,cx", [
+    (2, 64, 2, 16, 7, 48),     # ctx pads 7 -> 128 lanes (masked softmax)
+    (1, 96, 3, 16, 77, 64),    # real CLIP token count, odd head count
+    (1, 128, 1, 32, 130, 40),  # ctx spills into a second 128-lane tile
+])
+def test_fused_spatial_tail_matches_unfused(b, s, h, d, t, cx, monkeypatch):
+    """The fused-tail block must equal the unfused BasicTransformerBlock
+    (einsum attention path) on the same params."""
+    import jax
+    from dvdx_tpu.models.layers import BasicTransformerBlock
+
+    dim = h * d
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(b, s, dim)).astype(np.float32))
+    ctx = jnp.asarray(rng.normal(size=(b, t, cx)).astype(np.float32))
+    mod = BasicTransformerBlock(dim, h, d, cross_attention_dim=cx,
+                                dtype=jnp.float32)
+    monkeypatch.setenv("DVDX_SPATIAL_BLOCK_IMPL", "xla")
+    params = mod.init(jax.random.PRNGKey(0), x, ctx)
+    ref = mod.apply(params, x, ctx)
+    monkeypatch.setenv("DVDX_SPATIAL_BLOCK_IMPL", "pallas")
+    params_f = mod.init(jax.random.PRNGKey(0), x, ctx)
+    assert sorted(_tree_paths(params)) == sorted(_tree_paths(params_f))
+    out = mod.apply(params, x, ctx)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_fused_spatial_tail_bf16_close(monkeypatch):
+    import jax
+    from dvdx_tpu.models.layers import BasicTransformerBlock
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(1, 64, 64)), jnp.bfloat16)
+    ctx = jnp.asarray(rng.normal(size=(1, 7, 48)), jnp.bfloat16)
+    mod = BasicTransformerBlock(64, 2, 32, cross_attention_dim=48,
+                                dtype=jnp.bfloat16)
+    monkeypatch.setenv("DVDX_SPATIAL_BLOCK_IMPL", "xla")
+    params = mod.init(jax.random.PRNGKey(0), x, ctx)
+    ref = mod.apply(params, x, ctx).astype(jnp.float32)
+    monkeypatch.setenv("DVDX_SPATIAL_BLOCK_IMPL", "pallas")
+    out = mod.apply(params, x, ctx).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-2, rtol=5e-2)
+
+
+def test_fused_spatial_tail_double_self_unaffected(monkeypatch):
+    """double_self blocks (temporal semantics) never take the fused-tail
+    path even when forced — attn2 self-attends there, not cross."""
+    import jax
+    from dvdx_tpu.models.layers import BasicTransformerBlock
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(1, 64, 32)).astype(np.float32))
+    mod = BasicTransformerBlock(32, 2, 16, double_self=True,
+                                dtype=jnp.float32)
+    monkeypatch.setenv("DVDX_SPATIAL_BLOCK_IMPL", "xla")
+    params = mod.init(jax.random.PRNGKey(0), x)
+    ref = mod.apply(params, x)
+    monkeypatch.setenv("DVDX_SPATIAL_BLOCK_IMPL", "pallas")
+    out = mod.apply(params, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=0, rtol=0)
+
+
+def test_choose_block_rows_bounds():
+    from dvdx_tpu.ops.pallas.spatial_tail import choose_block_rows
+
+    # standard level 0: S=2880, C=HD=320, ctx pads to 128
+    bs = choose_block_rows(2880, 320, 320, 128)
+    assert bs > 0 and 2880 % bs == 0 and bs % 8 == 0
+    # XL level 0: S=9216
+    bs = choose_block_rows(9216, 320, 320, 128)
+    assert bs > 0 and 9216 % bs == 0 and bs % 8 == 0
+    # deep levels exceed the resident-weight bound
+    assert choose_block_rows(720, 640, 640, 128) == 0
+    assert choose_block_rows(180, 1280, 1280, 128) == 0
