@@ -297,8 +297,8 @@ def _fused_spatial_tail_wants(s: int, dim: int, heads: int, head_dim: int,
             return False
     elif (jax.default_backend() != "tpu" or s < 512
           # explicit attention/FF overrides select those unfused paths
+          # (mh-native attn1 COMPOSES with the fused tail — not excluded)
           or os.environ.get("DVDX_ATTN_IMPL", "") == "xla"
-          or os.environ.get("DVDX_ATTN_MH_IMPL", "") == "pallas"
           or os.environ.get("DVDX_FF_IMPL", "") == "xla"):
         return False
     from ..ops.pallas.spatial_tail import choose_block_rows
@@ -346,14 +346,34 @@ class BasicTransformerBlock(nn.Module):
                 inner, self.dim, name="attn1")(self.dim)
             hd_ = h.astype(dt)
             b_, s_ = x.shape[0], x.shape[1]
+            from ..ops.attention import wants_native_mh
 
-            def heads_(t):
-                return t.reshape(b_, t.shape[1], self.num_heads,
-                                 self.head_dim)
+            if wants_native_mh(s_, s_, self.num_heads, self.head_dim):
+                # mh-native attn1 composes with the fused tail: the kernel's
+                # o1 operand carries the lane-padded heads*dp width and o1_w
+                # is the matching pad_head_rows weight — exact math.
+                from ..ops.pallas.flash_attention import (flash_attention_mh,
+                                                          pad_head_columns,
+                                                          pad_head_rows)
 
-            o = multi_head_attention(heads_(jnp.dot(hd_, q1w.astype(dt))),
-                                     heads_(jnp.dot(hd_, k1w.astype(dt))),
-                                     heads_(jnp.dot(hd_, v1w.astype(dt))))
+                h_n, d_n = self.num_heads, self.head_dim
+                o1 = flash_attention_mh(
+                    jnp.dot(hd_, pad_head_columns(q1w.astype(dt), h_n, d_n)),
+                    jnp.dot(hd_, pad_head_columns(k1w.astype(dt), h_n, d_n)),
+                    jnp.dot(hd_, pad_head_columns(v1w.astype(dt), h_n, d_n)),
+                    heads=h_n, head_dim=d_n)
+                o1w = pad_head_rows(o1w.astype(dt), h_n, d_n)
+            else:
+
+                def heads_(t):
+                    return t.reshape(b_, t.shape[1], self.num_heads,
+                                     self.head_dim)
+
+                o1 = multi_head_attention(
+                    heads_(jnp.dot(hd_, q1w.astype(dt))),
+                    heads_(jnp.dot(hd_, k1w.astype(dt))),
+                    heads_(jnp.dot(hd_, v1w.astype(dt)))).reshape(
+                        b_, s_, inner)
             q2w, k2w, v2w, o2w, o2b = _AttnParams(
                 inner, self.dim, name="attn2")(
                     self.dim, kv_features=context.shape[-1])
@@ -370,7 +390,7 @@ class BasicTransformerBlock(nn.Module):
                 "ffo_w": ff[2], "ffo_b": ff[3],
             }
             return fused_spatial_tail(
-                x.astype(dt), o.reshape(b_, s_, inner),
+                x.astype(dt), o1,
                 jnp.dot(ctxd, k2w.astype(dt)), jnp.dot(ctxd, v2w.astype(dt)),
                 params, heads=self.num_heads, eps=self.eps)
         h = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="norm1")(x)

@@ -149,13 +149,16 @@ def fused_spatial_tail(x: jax.Array, o1: jax.Array, ctx_k: jax.Array,
                        interpret: bool = False) -> jax.Array:
     """Run a BasicTransformerBlock's post-attn1 tail.
 
-    x: (N, S, C) block input (attn1's residual source); o1: (N, S, HD)
-    attn1's PV output (pre out-projection); ctx_k/ctx_v: (N, T, HD)
-    pre-projected context keys/values (to_k/to_v applied outside — they are
-    x-independent). params: flat dict with o1_{w,b}; ln{2,3}_{s,b}; q2_w;
-    o2_{w,b}; ffi_{w,b}; ffo_{w,b} — the flax module's arrays."""
+    x: (N, S, C) block input (attn1's residual source); o1: (N, S, HD1)
+    attn1's PV output (pre out-projection; HD1 may be the mh-native kernel's
+    lane-padded heads*dp width — o1_w must then be the matching
+    pad_head_rows weight); ctx_k/ctx_v: (N, T, HD) pre-projected context
+    keys/values (to_k/to_v applied outside — they are x-independent).
+    params: flat dict with o1_{w,b}; ln{2,3}_{s,b}; q2_w; o2_{w,b};
+    ffi_{w,b}; ffo_{w,b} — the flax module's arrays."""
     n, s, c = x.shape
-    hd = o1.shape[-1]
+    hd1 = o1.shape[-1]
+    hd = params["q2_w"].shape[1]
     d = hd // heads
     t = ctx_k.shape[1]
     inner = params["ffi_w"].shape[1] // 2
@@ -163,7 +166,7 @@ def fused_spatial_tail(x: jax.Array, o1: jax.Array, ctx_k: jax.Array,
         scale = d**-0.5
     t_pad = max(128, -(-t // 128) * 128)
     bs = block_rows if block_rows is not None else choose_block_rows(
-        s, c, hd, t_pad)
+        s, c, max(hd, hd1), t_pad)
     if bs == 0 or s % bs:
         raise ValueError(f"no fused-tail blocking for S={s}, C={c}, HD={hd}")
     dt = x.dtype
@@ -195,7 +198,7 @@ def fused_spatial_tail(x: jax.Array, o1: jax.Array, ctx_k: jax.Array,
         w("ffi_w"), vec("ffi_b", 2 * inner), w("ffo_w"), vec("ffo_b", c),
     ]
     operands = [x, o1.astype(dt), kt, vp, cbias] + weights
-    specs = [row(c), row(hd), per_img(hd, t_pad), per_img(t_pad, hd),
+    specs = [row(c), row(hd1), per_img(hd, t_pad), per_img(t_pad, hd),
              wspec(cbias)] + [wspec(a) for a in weights]
 
     kernel = functools.partial(

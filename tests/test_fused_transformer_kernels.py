@@ -488,3 +488,31 @@ def test_choose_block_rows_bounds():
     # deep levels exceed the resident-weight bound
     assert choose_block_rows(720, 640, 640, 128) == 0
     assert choose_block_rows(180, 1280, 1280, 128) == 0
+
+
+def test_fused_spatial_tail_composes_with_mh_native(monkeypatch):
+    """DVDX_ATTN_MH_IMPL=pallas + fused tail: the kernel's o1 operand is the
+    mh-native lane-padded width, o1_w the matching pad_head_rows weight —
+    must still equal the fully-unfused block."""
+    import jax
+    from dvdx_tpu.models.layers import BasicTransformerBlock
+
+    rng = np.random.default_rng(3)
+    b, s, h, d, t, cx = 1, 1024, 2, 64, 7, 48
+    dim = h * d
+    x = jnp.asarray(rng.normal(size=(b, s, dim)).astype(np.float32))
+    ctx = jnp.asarray(rng.normal(size=(b, t, cx)).astype(np.float32))
+    mod = BasicTransformerBlock(dim, h, d, cross_attention_dim=cx,
+                                dtype=jnp.float32)
+    monkeypatch.setenv("DVDX_SPATIAL_BLOCK_IMPL", "xla")
+    monkeypatch.setenv("DVDX_ATTN_IMPL", "xla")
+    params = mod.init(jax.random.PRNGKey(0), x, ctx)
+    ref = mod.apply(params, x, ctx)
+    monkeypatch.delenv("DVDX_ATTN_IMPL")
+    monkeypatch.setenv("DVDX_SPATIAL_BLOCK_IMPL", "pallas")
+    monkeypatch.setenv("DVDX_ATTN_MH_IMPL", "pallas")
+    params_f = mod.init(jax.random.PRNGKey(0), x, ctx)
+    assert sorted(_tree_paths(params)) == sorted(_tree_paths(params_f))
+    out = mod.apply(params, x, ctx)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-4, rtol=5e-4)
