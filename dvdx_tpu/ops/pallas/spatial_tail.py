@@ -48,7 +48,8 @@ _MAX_CTX = 512
 _NEG_INF = -1e9
 
 
-def choose_block_rows(s: int, c: int, hd: int, t_pad: int) -> int:
+def choose_block_rows(s: int, c: int, hd: int, t_pad: int,
+                      heads: int = 1) -> int:
     """Row-tile height bs for the fused tail kernel (0 = infeasible).
 
     VMEM model: resident weights 2*(3*HD*C + 12*C^2) bytes + resident context
@@ -59,8 +60,9 @@ def choose_block_rows(s: int, c: int, hd: int, t_pad: int) -> int:
     if c > _MAX_DIM or hd > _MAX_DIM or t_pad > _MAX_CTX:
         return 0
     weights = 2 * (3 * hd * c + 12 * c * c)
-    ctx = 4 * hd * t_pad
-    per_row = 16 * (c + hd) + 4 * c + 16 * _FF_INNER_BLOCK + 12 * t_pad
+    ctx = 4 * hd * t_pad * heads    # block-diag K/V stored dense
+    per_row = (16 * (c + hd) + 4 * c + 16 * _FF_INNER_BLOCK
+               + 12 * heads * t_pad)  # f32 logit/exp/prob rows
     budget = 9 * 2**20 - weights - ctx
     if budget <= 0:
         return 0
@@ -92,28 +94,29 @@ def _mm(x, w):
 def _tail_kernel(x_ref, o1_ref, kt_ref, v_ref, cbias_ref,
                  o1w, o1b, ln2s, ln2b, q2w, o2w, o2b,
                  ln3s, ln3b, ffiw, ffib, ffow, ffob, o_ref, *,
-                 scale: float, heads: int, d: int, inner: int, eps: float):
+                 scale: float, heads: int, inner: int, eps: float):
     x = x_ref[0]                                       # (bs, C)
     dt = x.dtype
     x = x + _mm(o1_ref[0], o1w[...]) + o1b[...].astype(dt)
 
     h = _ln(x, ln2s[...], ln2b[...], eps)
     q = _mm(h, q2w[...])                               # (bs, HD)
-    cbias = cbias_ref[...]                             # (1, Tp) f32, 0/-1e9
-    outs = []
-    for i in range(heads):
-        sl = slice(i * d, (i + 1) * d)
-        logits = jax.lax.dot_general(
-            q[:, sl], kt_ref[0][sl, :], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)        # (bs, Tp)
-        logits = logits * scale + cbias
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        e = jnp.exp(logits - m)
-        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dt)
-        outs.append(jax.lax.dot_general(
-            p, v_ref[0][:, sl], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dt))
-    ao = jnp.concatenate(outs, axis=-1)                # (bs, HD), head-major
+    # ALL heads in two MXU matmuls: k/v are packed block-diagonally outside
+    # ((HD, heads*Tp) / (heads*Tp, HD)) so head strips never mix — the
+    # off-diagonal zeros contribute exact 0 to every cross-head term. The
+    # per-head loop of (bs, d) x (d, Tp) matmuls this replaces was
+    # latency-bound (measured ~4x above the kernel's MXU floor).
+    bsz = q.shape[0]
+    tp = cbias_ref.shape[1] // heads
+    logits = jax.lax.dot_general(q, kt_ref[0], (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    logits = (logits * scale + cbias_ref[...]).reshape(bsz, heads, tp)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dt)
+    ao = jax.lax.dot_general(p.reshape(bsz, heads * tp), v_ref[0],
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32).astype(dt)
     x = x + _mm(ao, o2w[...]) + o2b[...].astype(dt)
 
     h = _ln(x, ln3s[...], ln3b[...], eps)
@@ -165,17 +168,36 @@ def fused_spatial_tail(x: jax.Array, o1: jax.Array, ctx_k: jax.Array,
     if scale is None:
         scale = d**-0.5
     t_pad = max(128, -(-t // 128) * 128)
+    import os
+
+    env_bs = os.environ.get("DVDX_SPATIAL_TAIL_BS", "")
+    if block_rows is None and env_bs:
+        block_rows = int(env_bs)
     bs = block_rows if block_rows is not None else choose_block_rows(
-        s, c, max(hd, hd1), t_pad)
+        s, c, max(hd, hd1), t_pad, heads)
     if bs == 0 or s % bs:
         raise ValueError(f"no fused-tail blocking for S={s}, C={c}, HD={hd}")
     dt = x.dtype
 
+    # block-diagonal packing: K^T strips on the (d, Tp) diagonal blocks of
+    # (HD, heads*Tp), V strips on the (Tp, d) diagonal blocks of
+    # (heads*Tp, HD) — the kernel runs ALL heads as two MXU matmuls and the
+    # off-diagonal zeros make every cross-head product exactly 0.
     pad = [(0, 0), (0, t_pad - t), (0, 0)]
-    kt = jnp.swapaxes(jnp.pad(ctx_k.astype(dt), pad), 1, 2)  # (N, HD, Tp)
-    vp = jnp.pad(ctx_v.astype(dt), pad)                      # (N, Tp, HD)
-    cbias = jnp.where(jnp.arange(t_pad)[None, :] < t, 0.0,
-                      _NEG_INF).astype(jnp.float32)          # (1, Tp)
+    kp = jnp.pad(ctx_k.astype(dt), pad)                      # (N, Tp, HD)
+    vp0 = jnp.pad(ctx_v.astype(dt), pad)
+    eye = jnp.eye(heads, dtype=dt)
+    # (N, Tp, h, d) -> (N, h*Tp, h, d) with strip h' zeroed unless h' == h
+    kh = kp.reshape(n, t_pad, heads, d)
+    kbd = jnp.einsum("nthd,hg->nhtgd", kh, eye).reshape(
+        n, heads * t_pad, hd)
+    kt = jnp.swapaxes(kbd, 1, 2)                             # (N, HD, h*Tp)
+    vh = vp0.reshape(n, t_pad, heads, d)
+    vp = jnp.einsum("nthd,hg->nhtgd", vh, eye).reshape(
+        n, heads * t_pad, hd)                                # (N, h*Tp, HD)
+    cbias = jnp.where(
+        (jnp.arange(heads * t_pad)[None, :] % t_pad) < t, 0.0,
+        _NEG_INF).astype(jnp.float32)                        # (1, h*Tp)
 
     def w(name):
         return params[name].astype(dt)
@@ -198,11 +220,12 @@ def fused_spatial_tail(x: jax.Array, o1: jax.Array, ctx_k: jax.Array,
         w("ffi_w"), vec("ffi_b", 2 * inner), w("ffo_w"), vec("ffo_b", c),
     ]
     operands = [x, o1.astype(dt), kt, vp, cbias] + weights
-    specs = [row(c), row(hd1), per_img(hd, t_pad), per_img(t_pad, hd),
+    specs = [row(c), row(hd1), per_img(hd, heads * t_pad),
+             per_img(heads * t_pad, hd),
              wspec(cbias)] + [wspec(a) for a in weights]
 
     kernel = functools.partial(
-        _tail_kernel, scale=float(scale), heads=heads, d=d, inner=inner,
+        _tail_kernel, scale=float(scale), heads=heads, inner=inner,
         eps=eps)
     interpret = interpret or jax.default_backend() != "tpu"
     return pl.pallas_call(

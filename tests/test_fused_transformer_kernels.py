@@ -479,15 +479,15 @@ def test_fused_spatial_tail_double_self_unaffected(monkeypatch):
 def test_choose_block_rows_bounds():
     from dvdx_tpu.ops.pallas.spatial_tail import choose_block_rows
 
-    # standard level 0: S=2880, C=HD=320, ctx pads to 128
-    bs = choose_block_rows(2880, 320, 320, 128)
+    # standard level 0: S=2880, C=HD=320, 5 heads, ctx pads to 128
+    bs = choose_block_rows(2880, 320, 320, 128, heads=5)
     assert bs > 0 and 2880 % bs == 0 and bs % 8 == 0
     # XL level 0: S=9216
-    bs = choose_block_rows(9216, 320, 320, 128)
+    bs = choose_block_rows(9216, 320, 320, 128, heads=5)
     assert bs > 0 and 9216 % bs == 0 and bs % 8 == 0
     # deep levels exceed the resident-weight bound
-    assert choose_block_rows(720, 640, 640, 128) == 0
-    assert choose_block_rows(180, 1280, 1280, 128) == 0
+    assert choose_block_rows(720, 640, 640, 128, heads=10) == 0
+    assert choose_block_rows(180, 1280, 1280, 128, heads=20) == 0
 
 
 def test_fused_spatial_tail_composes_with_mh_native(monkeypatch):
