@@ -212,6 +212,8 @@ class Miner(Neuron):
             timesteps=[int(t) for t in timesteps],
             latent_shape=list(zs.shape[1:]),
             latent_dtype=str(zs.dtype),
+            num_chunks=(self.engine.chunk_plan(req.num_frames).num_chunks
+                        if self.engine.chunked else 0),
             platform=self.platform_tag,
             gen_time_s=gen_s,
             timings={"generate": round(gen_s, 4),

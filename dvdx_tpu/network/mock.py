@@ -79,6 +79,48 @@ class WrongVideoMiner(Miner):
         return resp
 
 
+def _truncate_mantissa(params, keep_bits: int):
+    """Mantissa-truncate every float leaf of a param tree (host-side): a
+    proxy for cheap reduced-precision compute (int8/fp8 inference). bf16
+    keeps `keep_bits` of its 7 mantissa bits; f32 of its 23."""
+    import ml_dtypes
+
+    def trunc(x):
+        a = np.asarray(x)
+        if a.dtype == ml_dtypes.bfloat16:
+            mask = np.uint16((0xFFFF << max(0, 7 - keep_bits)) & 0xFFFF)
+            return (a.view(np.uint16) & mask).view(a.dtype)
+        if a.dtype == np.float32:
+            mask = np.uint32(
+                (0xFFFFFFFF << max(0, 23 - keep_bits)) & 0xFFFFFFFF)
+            return (a.view(np.uint32) & mask).view(a.dtype)
+        return a
+
+    import jax
+
+    return jax.tree.map(trunc, params)
+
+
+class ApproxMiner(Miner):
+    """Cheap-APPROXIMATE adversary (VERDICT r4 item 2): runs the real
+    pipeline but with a mantissa-truncated UNet — the 'reduced-precision
+    shortcut' miner living near the tolerance boundary that O(1)-off
+    adversaries (lazy/wrong_seed) never probe. Its trace is fully
+    self-consistent (Merkle, signature, seed-derived base noise, z-chain,
+    video binding all pass, since video and leaves come from the same cheap
+    program); ONLY a re-execution tolerance calibrated below its error gap
+    catches it. tests/test_tolerance_calibration.py asserts the calibrated
+    per-regime bounds do."""
+
+    def __init__(self, pipeline, *args, keep_mantissa_bits: int = 2, **kwargs):
+        cheap_params = dict(pipeline.params)
+        cheap_params["unet"] = _truncate_mantissa(pipeline.params["unet"],
+                                                  keep_mantissa_bits)
+        cheap = dataclasses.replace(pipeline, params=cheap_params,
+                                    _gen_cache={})
+        super().__init__(cheap, *args, **kwargs)
+
+
 class WrongSeedMiner(Miner):
     """Adversary: ignores the validator seed (e.g. replays a cached video)."""
 
@@ -142,7 +184,8 @@ def build_mock_network(
         kind = adversaries[i] if i < len(adversaries) else "honest"
         cls = {"honest": Miner, "lazy": LazyMiner,
                "wrong_seed": WrongSeedMiner,
-               "wrong_video": WrongVideoMiner}[kind]
+               "wrong_video": WrongVideoMiner,
+               "approx": ApproxMiner}[kind]
         miner = cls(pipeline, kp, registry, mesh=mesh, strategy=mesh_strategy)
         addr = f"mock://miner-{i}"
         # the pin IS the verification regime: backend alone -> bitwise,
@@ -174,7 +217,7 @@ def demo(argv=None):
     ap = argparse.ArgumentParser(description="dvdx mock network demo")
     ap.add_argument("--miners", type=int, default=3)
     ap.add_argument("--adversaries", default="",
-                    help="comma list: lazy | wrong_seed | wrong_video")
+                    help="comma list: lazy | wrong_seed | wrong_video | approx")
     ap.add_argument("--prompt", default="a red panda climbing a snowy tree")
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--cpu", action="store_true")

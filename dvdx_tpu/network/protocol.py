@@ -163,6 +163,12 @@ class InferenceResponse:
     timesteps: List[int] = dataclasses.field(default_factory=list)
     latent_shape: List[int] = dataclasses.field(default_factory=list)  # (F,h,w,C)
     latent_dtype: str = "bfloat16"
+    # chunked-strategy miners commit their chunk plan here: the plan is
+    # deterministic given (num_frames, num_chunks, preset overlap), so this
+    # one int lets the validator rebuild the identical chunked step program
+    # for re-execution; leaves are then (n, L, h, w, C) chunk stacks. A lie
+    # changes the plan-derived shapes and fails the latent_shape cross-check.
+    num_chunks: int = 0
     platform: str = ""            # backend tag: exact re-exec requires equality
     gen_time_s: float = 0.0
     # advisory miner-side phase breakdown (generate/commit/encode seconds);

@@ -46,6 +46,30 @@ from .base import Neuron, Registry, ScoreBook
 from .ledger import Ledger
 
 
+# Per-regime tolerance calibration (VERDICT r4 item 2). A miner's registry
+# pin "backend:strategy" names a verification regime; for SAME-backend mesh/
+# chunked regimes the only honest error source is GSPMD accumulation order,
+# whose measured distribution is orders of magnitude below the blanket
+# cross-platform atol. Bounds are ~10x the measured honest max-abs-err
+# (scripts/calibrate_tolerance.py regenerates the table; docs/PROTOCOL.md
+# records the measurements) so a cheap *approximate* miner (reduced-precision
+# weights, skipped blocks — network/mock.py ApproxMiner) lands above the
+# bound while honest sharded miners clear it with margin.
+DEFAULT_REGIME_ATOL = {
+    "fsdp": 1e-2,        # measured honest max 3.2e-3 (8-dev CPU), 4e-4 (TPU)
+    "cp_exact": 5e-2,    # measured ~2e-2 (TPU ring attention)
+    "cp_ulysses": 5e-2,  # same collective-exactness class as cp_exact
+    # chunked plans re-executed as committed: honest mesh error is 1-2 bf16
+    # ulps at the large early-step latent magnitudes (measured max 3.1e-2 on
+    # an 8-dev CPU mesh); the cheapest approximate miner probed (4 mantissa
+    # bits kept) lands at 6e-2 — the bound sits between the honest 3x margin
+    # and the 2-bit adversary's 1.7e-1 floor (see docs/PROTOCOL.md table)
+    "chunk": 1e-1,
+    "hybrid": 1e-1,
+    "hybrid_ctx": 1e-1,
+}
+
+
 @dataclasses.dataclass
 class ValidatorConfig:
     sample_size: int = 3            # miners per request (neuron.sample_size)
@@ -55,6 +79,10 @@ class ValidatorConfig:
                                     # (economics alpha*=0.30 is the *secure
                                     # minimum*; default audits everything)
     atol: float = 5e-2              # cross-platform tolerance
+    # same-backend strategy-regime tolerances (strategy name -> atol);
+    # falls back to `atol` for unknown regimes. See DEFAULT_REGIME_ATOL.
+    atol_by_strategy: Dict[str, float] = dataclasses.field(
+        default_factory=lambda: dict(DEFAULT_REGIME_ATOL))
     ema_alpha: float = 0.1
     kappa_limit: float = 0.1
     trust_decay: float = 0.8        # gamma
@@ -147,6 +175,38 @@ class Validator(Neuron):
         self.metrics = {"rounds": 0, "responses": 0, "failures": 0,
                         "cheats_detected": 0, "reexec_steps": 0,
                         "ledger_errors": 0}
+        # (strategy_name, num_chunks) -> chunked verification StepEngine;
+        # engines cache their jitted programs, so reuse across rounds
+        self._chunk_engines: Dict[Tuple[str, int], StepEngine] = {}
+
+    def _chunk_engine(self, strategy_name: str, num_chunks: int) -> StepEngine:
+        """Single-device StepEngine running the chunked program a miner
+        pinned — the validator-side half of VERDICT r4 item 1 (re-execute
+        the committed chunk plan's program instead of refusing)."""
+        key = (strategy_name, int(num_chunks))
+        if key not in self._chunk_engines:
+            from ..parallel.strategies import get_strategy
+
+            self._chunk_engines[key] = StepEngine(
+                self.pipeline,
+                strategy=get_strategy(strategy_name, num_chunks=num_chunks))
+        return self._chunk_engines[key]
+
+    def _regime(self, pinned: str) -> Tuple[bool, float, str]:
+        """Registry pin -> (same_platform, atol, strategy_name). Bitwise for
+        an unpinned miner or a bare matching backend; calibrated per-strategy
+        atol for same-backend strategy regimes; the blanket cross-platform
+        atol otherwise."""
+        backend = __import__("jax").default_backend()
+        if not pinned:
+            return True, self.config.atol, ""
+        pin_backend, _, strat = pinned.partition(":")
+        if pin_backend != backend:
+            return False, self.config.atol, strat
+        if not strat:
+            return True, self.config.atol, ""
+        return False, self.config.atol_by_strategy.get(
+            strat, self.config.atol), strat
 
     def _audit_decision(self) -> Tuple[bool, str]:
         """Audit-or-skip draw from OS entropy (`secrets`), not a seeded PRNG:
@@ -613,18 +673,53 @@ class Validator(Neuron):
         if cfg.require_platform and pinned and pinned != cfg.require_platform:
             return fail("platform_policy", cheat=False, pinned=pinned,
                         required=cfg.require_platform)
-        same_platform = (not pinned) or \
-            (pinned == __import__("jax").default_backend())
+        same_platform, atol, strat_name = self._regime(pinned)
         d["same_platform"] = same_platform
+        d["regime_atol"] = atol
+
+        # strategy regimes: pick the verification engine the pin commits to.
+        # Value-preserving strategies (fsdp/cp_exact/...) verify against the
+        # canonical program; chunked strategies verify against the committed
+        # chunk plan's program (VERDICT r4 item 1 — the reference's headline
+        # fsdp_chunked_coherent mode is now a verifiable miner).
+        engine = self.engine
+        ctx = None
+        if strat_name:
+            from ..parallel.strategies import get_strategy
+
+            try:
+                strat = get_strategy(strat_name)
+            except KeyError:
+                return fail("platform_pin", cheat=False, pinned=pinned)
+            if strat.chunked:
+                n = int(resp.num_chunks or 0)
+                if not 1 <= n <= req.num_frames:
+                    return fail("chunk_plan", chunks=n)
+                engine = self._chunk_engine(strat_name, n)
+                plan = engine.chunk_plan(req.num_frames)
+                spec = self.pipeline.spec
+                ds = spec.vae.downscale
+                expected = (plan.num_chunks, plan.chunk_len,
+                            req.height // ds, req.width // ds,
+                            spec.latent_channels)
+                if shape != expected:
+                    return fail("latent_shape", got=list(shape),
+                                expected=list(expected))
+                # seed-derived CCI context, re-derived exactly as the miner
+                # derived it (pure function of the base noise)
+                ctx = engine.context_latent(req.seed, req.num_frames,
+                                            req.height, req.width)
+        d["verify_engine"] = strat_name if engine is not self.engine else ""
 
         # base-noise binding: if step 0 is revealed, z_0 must equal the
-        # seed-derived base latent (stronger than anything the reference has)
+        # seed-derived base latent (stronger than anything the reference
+        # has); for chunked regimes the gathered chunk stack, same property
         t0 = time.perf_counter()
         if 0 in leaves:
-            base = self.engine.base_latent(req.seed, req.num_frames,
-                                           req.height, req.width)
+            base = engine.base_latent(req.seed, req.num_frames,
+                                      req.height, req.width)
             ok, err, bit = compare_arrays(leaves[0][1], base,
-                                          bitwise=same_platform, atol=cfg.atol)
+                                          bitwise=same_platform, atol=atol)
             if not ok:
                 return fail("base_noise", err=err)
             d["checks"]["base_noise"] = True
@@ -632,10 +727,10 @@ class Validator(Neuron):
 
         # all k re-executions in ONE device launch (VERDICT r1 item 2)
         results, _ = verify_revealed_steps(
-            self.engine, req.prompt, req.negative_prompt, leaves, checks,
+            engine, req.prompt, req.negative_prompt, leaves, checks,
             req.num_steps, req.guidance_scale,
-            same_platform=same_platform, atol=cfg.atol,
-            cfg_split=req.cfg_split)
+            same_platform=same_platform, atol=atol,
+            cfg_split=req.cfg_split, ctx=ctx)
         t0 = self._mark(d, "reexecution", t0)
         self.metrics["reexec_steps"] += len(checks)
         for i in checks:
@@ -645,6 +740,10 @@ class Validator(Neuron):
                             eps_err=res.max_eps_err, z_err=res.max_z_err)
         d["checks"]["reexecution"] = True
         d["reexec_bitwise"] = all(results[i].bitwise for i in checks)
+        # honest-error observability: round reports feed the tolerance
+        # calibration (scripts/calibrate_tolerance.py)
+        d["reexec_max_err"] = max(
+            max(results[i].max_eps_err, results[i].max_z_err) for i in checks)
 
         # video <-> trace binding: decode secret-derived frames from the
         # re-derived final latent and compare to the delivered video (closes
@@ -657,10 +756,11 @@ class Validator(Neuron):
                                                 req.num_frames,
                                                 k=cfg.binding_num_frames)
             d["binding_frames"] = bind_frames
-            ok_bind, err = self.engine.verify_video_binding(
+            ok_bind, err = engine.verify_video_binding(
                 frames, leaves[last], last, req.num_steps,
                 req.guidance_scale, req.prompt, req.negative_prompt,
-                frame_indices=bind_frames, max_err=cfg.binding_max_err)
+                frame_indices=bind_frames, max_err=cfg.binding_max_err,
+                num_frames=req.num_frames)
             self._mark(d, "video_binding", t0)
             d["video_binding_err"] = round(err, 4)
             if not ok_bind:

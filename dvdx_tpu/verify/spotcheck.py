@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -39,6 +39,8 @@ from ..ops import rng as rng_ops
 
 
 from ..ops.scheduler import make_ddim_schedule
+from ..parallel.chunking import (auto_chunk_count, blend_chunks, gather_chunks,
+                                 plan_chunks)
 from ..pipelines.text2video import Pipeline, cfg_denoise_step
 from ..models.vae import decode_frames_tiled
 
@@ -75,34 +77,42 @@ class StepEngine:
     def __init__(self, pipeline: Pipeline, mesh=None, strategy=None):
         self.pipe = pipeline
         self.mesh = mesh
-        if mesh is not None:
-            from ..parallel.strategies import Strategy, get_strategy
-            from ..parallel.sharding import shard_params
+        if strategy is None and mesh is not None:
+            strategy = "fsdp"
+        if strategy is not None:
+            from ..parallel.strategies import get_strategy
 
-            if strategy is None:
-                strategy = "fsdp"
             if isinstance(strategy, str):
                 strategy = get_strategy(strategy)
-            if strategy.chunked:
-                raise ValueError(
-                    "PoI composes with value-preserving shardings only "
-                    "(fsdp/cp_exact); chunked strategies change the program "
-                    "semantics so their traces cannot verify against the "
-                    "canonical step program")
-            self.strategy = strategy
+            if strategy.name == "single" or (mesh is None
+                                             and not strategy.chunked):
+                # without a mesh, value-preserving strategies ARE the
+                # canonical single-device program — no regime change;
+                # chunked strategies change the program even on one device
+                strategy = None
+        if strategy is not None and strategy.pre_steps:
+            raise ValueError(
+                "PoI does not compose with the precond strategy: its "
+                "full-latent pre-phase changes the leaf shape mid-trace "
+                "(commit a hybrid/hybrid_ctx plan instead)")
+        self.strategy = strategy
+        if mesh is not None:
+            from ..parallel.sharding import shard_params
+
             # params live sharded on the mesh (replicated leaves when the
             # strategy does not shard params); the Pipeline's host copy is
             # untouched so a co-resident single-device engine still works
             self._params = shard_params(pipeline.params, mesh,
                                         strategy.shard_params)
         else:
-            self.strategy = None
             self._params = pipeline.params
         self._encode = None
         self._steps: Dict[tuple, callable] = {}
         self._decode = None
         self._video = None
         self._noise: Dict[tuple, callable] = {}
+        self._plans: Dict[tuple, Any] = {}
+        self._chunk_preps: Dict[tuple, callable] = {}
 
     @property
     def params(self):
@@ -113,13 +123,79 @@ class StepEngine:
     def platform_tag(self) -> str:
         """What this engine's miner must pin at registration: the backend
         alone for the canonical single-device program (bitwise regime), or
-        backend:strategy for sharded execution (tolerance regime)."""
+        backend:strategy when a strategy changes either the program (chunked
+        plans) or its accumulation order (mesh sharding) — the validator
+        derives the verification regime and its calibrated tolerance from
+        this pin (network/validator.py regime_atol)."""
         import jax
 
         tag = jax.default_backend()
-        if self.mesh is not None:
+        if self.strategy is not None:
             tag = f"{tag}:{self.strategy.name}"
         return tag
+
+    # -- chunked-strategy program (VERDICT r4 item 1) --
+    #
+    # A chunked miner runs the reference's headline distribution mode
+    # (`/root/reference/Distribution/strategies/fsdp_chunked_coherent.py`):
+    # the frame axis is split into overlapping chunks denoised independently
+    # (chunk axis = batch axis, shardable over the mesh) and ramp-blended
+    # once at the end. The plan is DETERMINISTIC given (num_frames,
+    # num_chunks, overlap), so committing num_chunks in the response lets a
+    # single-device validator rebuild the identical chunked step program and
+    # re-execute sampled steps — leaves are the chunk-stacked
+    # (n, L, lh, lw, C) latents instead of (F, lh, lw, C).
+
+    @property
+    def chunked(self) -> bool:
+        return self.strategy is not None and self.strategy.chunked
+
+    def chunk_plan(self, num_frames: int):
+        """The committed chunk plan at F frames: strategy.num_chunks pinned,
+        or auto-sized from the mesh `seq` axis exactly as the strategy
+        runner does (parallel/strategies.py build_runner)."""
+        if not self.chunked:
+            return None
+        n = self.strategy.num_chunks
+        if not n:
+            seq = self.mesh.shape["seq"] if self.mesh is not None else 1
+            n = auto_chunk_count(num_frames, seq)
+        key = (num_frames, n, self.strategy.overlap)
+        if key not in self._plans:
+            self._plans[key] = plan_chunks(num_frames, n, self.strategy.overlap)
+        return self._plans[key]
+
+    def chunk_prep_fn(self, num_frames: int, lh: int, lw: int, c: int,
+                      latent_dtype):
+        """ONE jitted prep program shared by prover and verifier: seed key ->
+        (chunk-stacked initial latent, CCI context). Sharing it is what makes
+        the base-noise binding bitwise for chunked miners."""
+        key = (num_frames, lh, lw, c, jnp.dtype(latent_dtype).name)
+        if key not in self._chunk_preps:
+            plan = self.chunk_plan(num_frames)
+
+            def prep(k):
+                z0 = rng_ops.video_noise(k, num_frames, (lh, lw, c),
+                                         jnp.float32)
+                # CCI global context: time-mean of the base noise
+                # (fsdp_chunked_coherent.py:105-127 semantics)
+                ctx = jnp.mean(z0, axis=0, keepdims=True)[None]
+                chunks = gather_chunks(z0[None].astype(latent_dtype), plan)[0]
+                return chunks, ctx
+
+            self._chunk_preps[key] = jax.jit(prep)
+        return self._chunk_preps[key]
+
+    def context_latent(self, seed: int, num_frames: int, height: int,
+                       width: int, latent_dtype=jnp.bfloat16):
+        """Verifier-side CCI context re-derivation from the committed seed
+        (the miner's ctx is a pure function of the base noise)."""
+        spec = self.pipe.spec
+        ds = spec.vae.downscale
+        prep = self.chunk_prep_fn(num_frames, height // ds, width // ds,
+                                  spec.latent_channels, latent_dtype)
+        _, ctx = prep(rng_ops.base_key(seed))
+        return ctx
 
     def _trace_ctx(self):
         """Context active while TRACING the step programs: for cp_exact the
@@ -141,12 +217,18 @@ class StepEngine:
 
     def _constrain_latent(self, z):
         """Shard the (B, F, h, w, C) latent over the mesh frame axis for
-        cp_exact; no-op otherwise (fsdp replicates activations)."""
-        if self.mesh is not None and self.strategy.exact_cp:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+        cp_exact, the (n, L, h, w, C) chunk axis over (data, seq) for a
+        chunked strategy; no-op otherwise (fsdp replicates activations)."""
+        if self.mesh is None:
+            return z
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
+        if self.strategy.exact_cp:
             return jax.lax.with_sharding_constraint(
                 z, NamedSharding(self.mesh, P("data", "seq")))
+        if self.strategy.chunked:
+            return jax.lax.with_sharding_constraint(
+                z, NamedSharding(self.mesh, P(("data", "seq"))))
         return z
 
     def _replicate(self, x):
@@ -158,6 +240,22 @@ class StepEngine:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         return jax.device_put(x, NamedSharding(self.mesh, P()))
+
+    def _per_chunk(self, z, cond, uncond, ctx):
+        """Chunked mode: broadcast the (1, S, D) text states and the
+        (1, 1, h, w, C) CCI context over the chunk axis (z.shape[0], traced
+        statically) — the same jnp.repeat the strategy runner applies
+        (parallel/strategies.py _core_body). Identity otherwise."""
+        if not self.chunked:
+            return cond, uncond, None
+        n = z.shape[0]
+        cond = jnp.repeat(cond, n, axis=0)
+        uncond = jnp.repeat(uncond, n, axis=0)
+        if ctx is not None and self.strategy.context_weight > 0.0:
+            ctx = jnp.repeat(ctx, n, axis=0)
+        else:
+            ctx = None
+        return cond, uncond, ctx
 
     # -- jitted pieces --
 
@@ -184,20 +282,25 @@ class StepEngine:
         per-launch dispatch overhead once per `length` steps instead of per
         step (~40% faster PoI-grade generation through the RPC runtime).
         """
-        key = ("seg", num_steps, float(guidance_scale), length, cfg_split)
+        key = ("seg", num_steps, float(guidance_scale), length, cfg_split,
+               self.chunked)
         if key not in self._steps:
             sched = make_ddim_schedule(
                 num_steps, prediction_type=self.pipe.spec.prediction_type)
             unet_apply = self.pipe.unet.apply
+            cw = self.strategy.context_weight if self.chunked else 0.0
 
-            def seg(params, z, start, cond, uncond):
+            def seg(params, z, start, cond, uncond, ctx=None):
                 with self._trace_ctx():
                     z = self._constrain_latent(z)
+                    cond, uncond, ctx = self._per_chunk(z, cond, uncond, ctx)
                     zs, eps = [], []
                     for j in range(length):
                         z2, e = cfg_denoise_step(
                             unet_apply, params["unet"], sched, z, start + j,
-                            cond, uncond, guidance_scale, cfg_split=cfg_split)
+                            cond, uncond, guidance_scale,
+                            context_latent=ctx, context_weight=cw,
+                            cfg_split=cfg_split)
                         zs.append(z)
                         eps.append(e)
                         z = self._constrain_latent(z2)
@@ -214,18 +317,22 @@ class StepEngine:
 
     def step_fn(self, num_steps: int, guidance_scale: float,
                 cfg_split: bool = False):
-        key = (num_steps, float(guidance_scale), cfg_split)
+        key = (num_steps, float(guidance_scale), cfg_split, self.chunked)
         if key not in self._steps:
             sched = make_ddim_schedule(
                 num_steps, prediction_type=self.pipe.spec.prediction_type)
             unet_apply = self.pipe.unet.apply
+            cw = self.strategy.context_weight if self.chunked else 0.0
 
-            def step(params, z, step_index, cond, uncond):
+            def step(params, z, step_index, cond, uncond, ctx=None):
                 with self._trace_ctx():
+                    z = self._constrain_latent(z)
+                    cond, uncond, ctx = self._per_chunk(z, cond, uncond, ctx)
                     z_prev, eps = cfg_denoise_step(
-                        unet_apply, params["unet"], sched,
-                        self._constrain_latent(z), step_index, cond,
-                        uncond, guidance_scale, cfg_split=cfg_split,
+                        unet_apply, params["unet"], sched, z, step_index,
+                        cond, uncond, guidance_scale,
+                        context_latent=ctx, context_weight=cw,
+                        cfg_split=cfg_split,
                     )
                     return z_prev, eps
 
@@ -243,19 +350,28 @@ class StepEngine:
         tests/test_proof_security.py::test_multi_step_bitwise_matches_single).
         Cuts the verifier's dispatch count from k launches (+ k text encodes
         before this existed) to one (VERDICT r1 item 2)."""
-        key = ("multi", num_steps, float(guidance_scale), int(k), cfg_split)
+        key = ("multi", num_steps, float(guidance_scale), int(k), cfg_split,
+               self.chunked)
         if key not in self._steps:
             sched = make_ddim_schedule(
                 num_steps, prediction_type=self.pipe.spec.prediction_type)
             unet_apply = self.pipe.unet.apply
+            chunked = self.chunked
+            cw = self.strategy.context_weight if chunked else 0.0
 
-            def multi(params, zs, idxs, cond, uncond):
+            def multi(params, zs, idxs, cond, uncond, ctx=None):
                 def body(carry, zi):
                     z, i = zi
+                    z_in = z if chunked else z[None]
+                    c_n, u_n, ctx_n = self._per_chunk(z_in, cond, uncond, ctx)
                     z_prev, eps = cfg_denoise_step(
                         unet_apply, params["unet"], sched,
-                        self._constrain_latent(z[None]), i,
-                        cond, uncond, guidance_scale, cfg_split=cfg_split)
+                        self._constrain_latent(z_in), i,
+                        c_n, u_n, guidance_scale,
+                        context_latent=ctx_n, context_weight=cw,
+                        cfg_split=cfg_split)
+                    if chunked:
+                        return carry, (eps, z_prev)
                     return carry, (eps[0], z_prev[0])
 
                 with self._trace_ctx():
@@ -299,6 +415,23 @@ class StepEngine:
             self._video = jax.jit(vid)
         return self._video
 
+    def chunk_video_fn(self, num_frames: int):
+        """Chunked final stage: ramp-blend the chunk-stacked final latent
+        back to (F, lh, lw, C) (the reference's stitch,
+        `chunk_only.py:136-150`) then decode + uint8 in the same program."""
+        key = ("chunk_video", num_frames)
+        if key not in self._steps:
+            vae_apply = self.pipe.vae_decoder.apply
+            plan = self.chunk_plan(num_frames)
+
+            def vid(params, z_chunks):
+                zf = blend_chunks(z_chunks.astype(jnp.float32)[None], plan)[0]
+                f = decode_frames_tiled(vae_apply, params["vae_dec"], zf)
+                return ((f + 1.0) * 127.5).clip(0.0, 255.0).astype(jnp.uint8)
+
+            self._steps[key] = jax.jit(vid)
+        return self._steps[key]
+
     def noise_fn(self, num_frames: int, lh: int, lw: int, c: int):
         key = (num_frames, lh, lw, c)
         if key not in self._noise:
@@ -334,10 +467,21 @@ class StepEngine:
         uncond, cond = self.encode_fn()(params, jnp.asarray(ids))
         _, sched = self.step_fn(num_steps, guidance_scale, cfg_split)
 
-        z = self.noise_fn(num_frames, lh, lw, c)(rng_ops.base_key(seed))
-        # mesh mode: the noise program ran on the default device; re-place
-        # replicated on the mesh before mixing with mesh-committed params
-        z = self._replicate(z[None].astype(latent_dtype))
+        ctx = None
+        if self.chunked:
+            # chunked program: the leaf trace is the chunk-stacked latent
+            # (n, L, lh, lw, C); the plan is deterministic given (F, n,
+            # overlap) so a validator holding num_chunks rebuilds it
+            chunks, ctx = self.chunk_prep_fn(num_frames, lh, lw, c,
+                                             latent_dtype)(rng_ops.base_key(seed))
+            z = self._replicate(chunks)
+            ctx = self._replicate(ctx)
+        else:
+            z = self.noise_fn(num_frames, lh, lw, c)(rng_ops.base_key(seed))
+            # mesh mode: the noise program ran on the default device;
+            # re-place replicated on the mesh before mixing with
+            # mesh-committed params
+            z = self._replicate(z[None].astype(latent_dtype))
         zs_dev, eps_dev = [], []
         start = 0
         t_loop = time.perf_counter()
@@ -345,7 +489,8 @@ class StepEngine:
             length = min(max(1, segment_steps), num_steps - start)
             seg, _ = self.segment_fn(num_steps, guidance_scale, length,
                                      cfg_split)
-            z, zs_seg, eps_seg = seg(params, z, jnp.int32(start), cond, uncond)
+            z, zs_seg, eps_seg = seg(params, z, jnp.int32(start), cond,
+                                     uncond, ctx)
             # start the device->host leaf copy NOW so it overlaps the next
             # segment's compute (dispatch is async; the np.asarray at the end
             # then reads the already-landed host copy instead of serialising
@@ -363,7 +508,10 @@ class StepEngine:
             # per-segment copy_to_host_async calls BLOCK on this backend
             _tmark(timings, "dispatch_loop", t_loop)
         t0 = time.perf_counter()
-        video = self.video_fn()(params, z[0])
+        if self.chunked:
+            video = self.chunk_video_fn(num_frames)(params, z)
+        else:
+            video = self.video_fn()(params, z[0])
         try:
             # enqueue the video's host copy behind its compute so it overlaps
             # the leaf fetch below (the 42 MB uint8 fetch is ~3 s through the
@@ -374,7 +522,11 @@ class StepEngine:
         jax.block_until_ready(video)
         if timings is not None:
             t0 = _tmark(timings, "compute_wall", t0)
-        rec_shape = (num_steps, num_frames, lh, lw, c)
+        if self.chunked:
+            plan = self.chunk_plan(num_frames)
+            rec_shape = (num_steps, plan.num_chunks, plan.chunk_len, lh, lw, c)
+        else:
+            rec_shape = (num_steps, num_frames, lh, lw, c)
         zs = np.concatenate([np.asarray(x) for x in zs_dev]).reshape(rec_shape)
         epss = np.concatenate([np.asarray(x) for x in eps_dev]).reshape(rec_shape)
         if timings is not None:
@@ -389,14 +541,20 @@ class StepEngine:
 
     def reexecute_pair(self, prompt: str, negative_prompt: str,
                        z_i: np.ndarray, step_index: int, num_steps: int,
-                       guidance_scale: float,
-                       cfg_split: bool = False) -> Tuple[np.ndarray, np.ndarray]:
-        """-> (eps_i', z_{i+1}') recomputed from z_i under the step program."""
+                       guidance_scale: float, cfg_split: bool = False,
+                       ctx=None) -> Tuple[np.ndarray, np.ndarray]:
+        """-> (eps_i', z_{i+1}') recomputed from z_i under the step program.
+        For a chunked engine z_i is the (n, L, lh, lw, C) chunk stack and
+        `ctx` the seed-derived CCI context (engine.context_latent)."""
         params = self._params
         spec = self.pipe.spec
         ids = self.pipe.tokenize([negative_prompt, prompt])
         uncond, cond = self.encode_fn()(params, jnp.asarray(ids))
         step, _ = self.step_fn(num_steps, guidance_scale, cfg_split)
+        if self.chunked:
+            z_next, eps = step(params, jnp.asarray(z_i),
+                               jnp.int32(step_index), cond, uncond, ctx)
+            return np.asarray(eps), np.asarray(z_next)
         z = jnp.asarray(z_i)[None]
         z_next, eps = step(params, z, jnp.int32(step_index), cond, uncond)
         return np.asarray(eps[0]), np.asarray(z_next[0])
@@ -404,8 +562,8 @@ class StepEngine:
     def reexecute_steps(self, prompt: str, negative_prompt: str,
                         z_list: Sequence[np.ndarray],
                         step_indices: Sequence[int], num_steps: int,
-                        guidance_scale: float,
-                        cfg_split: bool = False) -> Tuple[np.ndarray, np.ndarray]:
+                        guidance_scale: float, cfg_split: bool = False,
+                        ctx=None) -> Tuple[np.ndarray, np.ndarray]:
         """Batched verifier path: ONE text encode + ONE device launch for all
         k sampled steps. -> (eps' (k,...), z_next' (k,...))."""
         params = self._params
@@ -416,7 +574,7 @@ class StepEngine:
         multi, _ = self.multi_step_fn(num_steps, guidance_scale, k, cfg_split)
         zs = jnp.stack([jnp.asarray(z) for z in z_list])
         idxs = jnp.asarray(list(step_indices), jnp.int32)
-        eps, z_next = multi(params, zs, idxs, cond, uncond)
+        eps, z_next = multi(params, zs, idxs, cond, uncond, ctx)
         shape = (k,) + tuple(zs.shape[1:])  # device-flattened fetch -> view
         return (np.asarray(eps).reshape(shape),
                 np.asarray(z_next).reshape(shape))
@@ -438,7 +596,8 @@ class StepEngine:
                              guidance_scale: float, prompt: str,
                              negative_prompt: str = "",
                              frame_indices: Sequence[int] = (0,),
-                             max_err: float = 0.12) -> Tuple[bool, float]:
+                             max_err: float = 0.12,
+                             num_frames: int = 0) -> Tuple[bool, float]:
         """Bind the delivered VIDEO to the committed TRACE: re-derive
         z_final from the revealed last leaf, decode the frames at
         `frame_indices`, and compare each against the received video's frame
@@ -466,6 +625,16 @@ class StepEngine:
         z_next = np.asarray(ddim_step(sched, jnp.int32(last_index),
                                       jnp.asarray(z_last)[None],
                                       jnp.asarray(eps_last)[None])[0])
+        if self.chunked:
+            # chunk-stacked final latent -> ramp-blend to (F, lh, lw, C),
+            # exactly the miner's chunk_video_fn stitch (num_frames is the
+            # request geometry; the caller passes it because the chunk stack
+            # alone does not determine F)
+            if not num_frames:
+                raise ValueError("chunked video binding requires num_frames")
+            plan = self.chunk_plan(num_frames)
+            z_next = np.asarray(blend_chunks(
+                jnp.asarray(z_next, jnp.float32)[None], plan)[0])
 
         # codec-robust comparison: 4x average-pool both frames first — mp4
         # quantisation noise averages out, content substitution does not
@@ -492,10 +661,19 @@ class StepEngine:
 
     def base_latent(self, seed: int, num_frames: int, height: int, width: int,
                     latent_dtype=jnp.bfloat16) -> np.ndarray:
-        """Re-derive the miner's base noise from the 64-bit seed."""
+        """Re-derive the miner's base noise from the 64-bit seed. For a
+        chunked engine this is the gathered (n, L, lh, lw, C) chunk stack —
+        derived by the SAME jitted prep program generation runs, so the
+        binding stays bitwise on a shared backend."""
         spec = self.pipe.spec
         ds = spec.vae.downscale
-        noise = self.noise_fn(num_frames, height // ds, width // ds,
+        lh, lw = height // ds, width // ds
+        if self.chunked:
+            chunks, _ = self.chunk_prep_fn(
+                num_frames, lh, lw, spec.latent_channels,
+                latent_dtype)(rng_ops.base_key(seed))
+            return np.asarray(chunks)
+        noise = self.noise_fn(num_frames, lh, lw,
                               spec.latent_channels)(rng_ops.base_key(seed))
         return np.asarray(noise.astype(latent_dtype))
 
@@ -544,6 +722,7 @@ def verify_revealed_steps(
     leaves: Dict[int, Tuple[int, np.ndarray, np.ndarray]],
     checks: Sequence[int], num_steps: int, guidance_scale: float, *,
     same_platform: bool, atol: float = 5e-2, cfg_split: bool = False,
+    ctx=None,
 ) -> Tuple[Dict[int, CheckResult], np.ndarray]:
     """Batched full re-execution of every sampled step in ONE device launch
     (single text encode + multi_step_fn) — the k-launch cost of calling
@@ -561,7 +740,7 @@ def verify_revealed_steps(
     checks = list(checks)
     eps_re, z_next_re = engine.reexecute_steps(
         prompt, negative_prompt, [leaves[i][1] for i in checks], checks,
-        num_steps, guidance_scale, cfg_split=cfg_split)
+        num_steps, guidance_scale, cfg_split=cfg_split, ctx=ctx)
 
     results: Dict[int, CheckResult] = {}
     for row, i in enumerate(checks):
@@ -581,7 +760,7 @@ def verify_revealed_steps(
                                    i, num_steps, guidance_scale,
                                    same_platform=same_platform, atol=atol,
                                    next_leaf=leaves.get(i + 1),
-                                   cfg_split=cfg_split)
+                                   cfg_split=cfg_split, ctx=ctx)
         results[i] = res
     return results, z_next_re
 
@@ -591,7 +770,8 @@ def verify_revealed_step(engine: StepEngine, prompt: str, negative_prompt: str,
                          step_index: int, num_steps: int,
                          guidance_scale: float, *, same_platform: bool,
                          next_leaf: Optional[Tuple[int, np.ndarray, np.ndarray]] = None,
-                         atol: float = 5e-2, cfg_split: bool = False) -> CheckResult:
+                         atol: float = 5e-2, cfg_split: bool = False,
+                         ctx=None) -> CheckResult:
     """Full re-execution check of sampled step i.
 
     leaf_i: (timestep, z_i, eps_i) with step_index the loop index. Always
@@ -602,7 +782,7 @@ def verify_revealed_step(engine: StepEngine, prompt: str, negative_prompt: str,
     eps_re, z_next_re = engine.reexecute_pair(prompt, negative_prompt, z_i,
                                               step_index, num_steps,
                                               guidance_scale,
-                                              cfg_split=cfg_split)
+                                              cfg_split=cfg_split, ctx=ctx)
     ok_e, err_e, bit_e = compare_arrays(eps_re, np.asarray(eps_i),
                                         bitwise=same_platform, atol=atol)
     if not ok_e:

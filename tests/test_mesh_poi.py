@@ -58,10 +58,13 @@ def test_mesh_engine_trace_verifies_on_single_device(tiny_pipeline_module):
     assert zs[0].tobytes() == base.tobytes()
 
 
-def test_mesh_engine_rejects_chunked_strategies(tiny_pipeline_module):
-    with pytest.raises(ValueError, match="value-preserving"):
+def test_mesh_engine_rejects_precond_strategy(tiny_pipeline_module):
+    # chunked strategies are verifiable since round 5 (test_chunked_poi.py);
+    # precond's full-latent pre-phase changes leaf shapes mid-trace and
+    # stays refused
+    with pytest.raises(ValueError, match="precond"):
         StepEngine(tiny_pipeline_module, mesh=make_mesh((1, 1, 8)),
-                   strategy="hybrid")
+                   strategy="precond")
 
 
 def test_fsdp_mesh_miner_full_round(tiny_pipeline_module):
