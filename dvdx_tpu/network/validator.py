@@ -56,15 +56,18 @@ from .ledger import Ledger
 # weights, skipped blocks — network/mock.py ApproxMiner) lands above the
 # bound while honest sharded miners clear it with margin.
 DEFAULT_REGIME_ATOL = {
-    "fsdp": 1e-2,        # measured honest max 3.2e-3 (8-dev CPU), 4e-4 (TPU)
-    "cp_exact": 5e-2,    # measured ~2e-2 (TPU ring attention)
-    "cp_ulysses": 5e-2,  # same collective-exactness class as cp_exact
-    # chunked plans re-executed as committed: honest mesh error is 1-2 bf16
-    # ulps at the large early-step latent magnitudes (measured max 3.1e-2 on
-    # an 8-dev CPU mesh); the cheapest approximate miner probed (4 mantissa
-    # bits kept) lands at 6e-2 — the bound sits between the honest 3x margin
-    # and the 2-bit adversary's 1.7e-1 floor (see docs/PROTOCOL.md table)
-    "chunk": 1e-1,
+    "fsdp": 2e-2,        # honest max 7.8e-3 (8-dev CPU, 3 seeds), 4e-4 (TPU)
+    "cp_exact": 5e-2,    # honest max 3.1e-2 (CPU ring), ~2e-2 (TPU)
+    "cp_ulysses": 5e-2,  # honest max 3.1e-2 (CPU head all-to-all)
+    # chunk shards frames WITHOUT sharding params: no accumulation-order
+    # change, measured honest error exactly 0 on the mesh -> tight bound
+    "chunk": 1e-2,
+    # fsdp x chunking: honest error is 1-2 bf16 ulps at the large
+    # early-step latent magnitudes (measured max 3.1e-2, 8-dev CPU); the
+    # approximate-adversary ladder lands at 6.6e-2 (4 mantissa bits kept) /
+    # 2.1e-1 (2 bits) — the bound guarantees catching the 2-bit rung with
+    # 2x margin; the 4-bit rung is the documented gray zone
+    # (docs/PROTOCOL.md, benchmarks/data/tolerance_calibration.json)
     "hybrid": 1e-1,
     "hybrid_ctx": 1e-1,
 }
