@@ -19,7 +19,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-MODES = ["fsdp", "chunk", "hybrid", "hybrid_ctx", "cp_exact"]
+MODES = ["fsdp", "chunk", "hybrid", "hybrid_ctx", "cp_exact", "cp_ulysses"]
 EMUS = ["ethernet", "wifi"]
 
 
@@ -31,7 +31,10 @@ def mesh_for(mode: str, world: int) -> str:
         return "1,1,1"
     if mode == "fsdp":
         return f"1,{world},1"
-    if mode == "chunk":
+    if mode in ("chunk", "cp_exact", "cp_ulysses"):
+        # pure frame/chunk sharding: the seq axis IS the strategy identity
+        # (params replicate for chunk; cp presets ZeRO-shard params over the
+        # model axis only when one is present)
         return f"1,1,{world}"
     model = 2 if world % 2 == 0 else 1
     return f"1,{model},{world // model}"

@@ -285,7 +285,8 @@ EMU_PRESETS = _emu_presets()
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(description="dvdx distributed strategy benchmark")
     ap.add_argument("--mode", default="hybrid_ctx",
-                    choices=["single", "fsdp", "chunk", "hybrid", "hybrid_ctx", "cp_exact", "precond"])
+                    choices=["single", "fsdp", "chunk", "hybrid", "hybrid_ctx",
+                             "cp_exact", "cp_ulysses", "precond"])
     ap.add_argument("--mesh", default="1,1,1", help="data,model,seq mesh shape")
     ap.add_argument("--model", default="zeroscope-tiny")
     ap.add_argument("--prompt", default="a red panda climbing a tree")
