@@ -301,10 +301,19 @@ def _fused_spatial_tail_wants(s: int, dim: int, heads: int, head_dim: int,
           or os.environ.get("DVDX_ATTN_IMPL", "") == "xla"
           or os.environ.get("DVDX_FF_IMPL", "") == "xla"):
         return False
-    from ..ops.pallas.spatial_tail import choose_block_rows
+    from ..ops.pallas.spatial_tail import (choose_block_rows,
+                                           choose_block_rows_streamed)
 
     t_pad = max(128, -(-ctx_tokens // 128) * 128)
-    return choose_block_rows(s, dim, heads * head_dim, t_pad) > 0
+    impl = os.environ.get("DVDX_SPATIAL_TAIL_IMPL", "")
+    if impl != "streamed" and choose_block_rows(
+            s, dim, heads * head_dim, t_pad) > 0:
+        return True
+    # C=640 rows: FF weights stream through the grid instead of living
+    # VMEM-resident (the measured half of the round-4 "closed by
+    # arithmetic" lever — docs/PERF_NOTES.md round-5)
+    return impl != "resident" and choose_block_rows_streamed(
+        s, dim, heads * head_dim, t_pad, heads) > 0
 
 
 class BasicTransformerBlock(nn.Module):

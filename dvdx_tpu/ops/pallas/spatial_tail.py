@@ -145,6 +145,162 @@ def _tail_kernel(x_ref, o1_ref, kt_ref, v_ref, cbias_ref,
     o_ref[0] = x + (acc + ffob[...].astype(jnp.float32)).astype(dt)
 
 
+def choose_block_rows_streamed(s: int, c: int, hd: int, t_pad: int,
+                               heads: int = 1,
+                               ff_block: int = _FF_INNER_BLOCK) -> int:
+    """Row-tile height for the STREAMED-weight tail kernel (0 = infeasible).
+
+    The resident kernel refuses C > 384 because the GEGLU pair alone is
+    12*C^2 bf16 (12.3 MB at C=640). Here the FF weights STREAM through the
+    grid's inner dimension exactly as ops/pallas/geglu_ff schedules them —
+    double-buffered (C, bi)/(bi, C) tiles — so only the small chain weights
+    (~3*HD*C) and the context K/V stay resident. VMEM model: 13 MB budget
+    (scoped VMEM is 16 MB; headroom for compiler temporaries) minus
+    residents minus 2x double-buffered FF tiles, divided by the per-row
+    live set (chain copies + bf16 xmid/h scratch + f32 FF accumulator +
+    (bs, bi) f32 val/gate tiles + f32 softmax rows)."""
+    if c > 768 or hd > 768 or t_pad > _MAX_CTX:
+        return 0
+    weights = 2 * (3 * hd * c + 4 * c)          # o1/q2/o2 (+ biases, LNs)
+    ctx = 4 * hd * t_pad * heads
+    ff_tiles = 2 * 6 * c * ff_block             # 2 buffers x (wv+wg+wo) bf16
+    per_row = (16 * (c + hd) + 12 * c          # chain copies + acc + scratch
+               + 18 * ff_block                  # f32 val/gate + bf16 h tile
+               + 12 * heads * t_pad)            # f32 logits/exp + bf16 probs
+    budget = 13 * 2**20 - weights - ctx - ff_tiles
+    if budget <= 0:
+        return 0
+    cap = min(budget // per_row, 512, s)
+    for bs in range(cap - cap % 8, 7, -8):
+        if s % bs == 0:
+            return bs
+    return s if s < 8 and s % 2 == 0 else 0
+
+
+def _tail_kernel_streamed(x_ref, o1_ref, kt_ref, v_ref, cbias_ref,
+                          o1w, o1b, ln2s, ln2b, q2w, o2w, o2b,
+                          ln3s, ln3b,
+                          wv_ref, bv_ref, wg_ref, bg_ref, wo_ref, ffob,
+                          o_ref, xmid_ref, h_ref, acc_ref, *,
+                          scale: float, heads: int, eps: float):
+    """Streamed variant: grid (N, S/bs, n_inner); the post-attn chain runs
+    once per row tile (ii == 0) into VMEM scratch, then the GEGLU pair
+    accumulates per streamed inner block (the geglu_ff schedule — exact,
+    since GEGLU is linear in the proj_out contraction)."""
+    ii = pl.program_id(2)
+    n_i = pl.num_programs(2)
+
+    @pl.when(ii == 0)
+    def _pre():
+        x = x_ref[0]                                   # (bs, C)
+        dt = x.dtype
+        x = x + _mm(o1_ref[0], o1w[...]) + o1b[...].astype(dt)
+        h2 = _ln(x, ln2s[...], ln2b[...], eps)
+        q = _mm(h2, q2w[...])                          # (bs, HD)
+        bsz = q.shape[0]
+        tp = cbias_ref.shape[1] // heads
+        logits = jax.lax.dot_general(q, kt_ref[0], (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+        logits = (logits * scale + cbias_ref[...]).reshape(bsz, heads, tp)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dt)
+        ao = jax.lax.dot_general(p.reshape(bsz, heads * tp), v_ref[0],
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32).astype(dt)
+        x = x + _mm(ao, o2w[...]) + o2b[...].astype(dt)
+        xmid_ref[...] = x
+        h_ref[...] = _ln(x, ln3s[...], ln3b[...], eps)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    h = h_ref[...]
+    dt = h.dtype
+    val = jax.lax.dot_general(h, wv_ref[...], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    val = val + bv_ref[...].astype(jnp.float32)
+    gate = jax.lax.dot_general(h, wg_ref[...], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    gate = gate + bg_ref[...].astype(jnp.float32)
+    val = val.astype(dt).astype(jnp.float32)
+    gate = gate.astype(dt).astype(jnp.float32)
+    hf = (val * _gelu_exact(gate)).astype(dt)
+    acc_ref[...] += jax.lax.dot_general(hf, wo_ref[...],
+                                        (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+
+    @pl.when(ii == n_i - 1)
+    def _done():
+        o = acc_ref[...] + ffob[...].astype(jnp.float32)
+        o_ref[0] = xmid_ref[...] + o.astype(dt)
+
+
+def _streamed_call(x, o1, kt, vp, cbias, params, *, heads, scale, eps,
+                   bs, t_pad, interpret):
+    n, s, c = x.shape
+    hd1 = o1.shape[-1]
+    hd = params["q2_w"].shape[1]
+    dt = x.dtype
+    inner = params["ffi_w"].shape[1] // 2
+    # inner block: largest 128-multiple divisor within the FF tile budget
+    bi = _FF_INNER_BLOCK
+    while inner % bi and bi > 128:
+        bi -= 128
+    if inner % bi:
+        bi = inner
+    n_i = inner // bi
+
+    def w(name):
+        return params[name].astype(dt)
+
+    def vec(name, width, vdt=jnp.float32):
+        return params[name].reshape(1, width).astype(vdt)
+
+    ffi = w("ffi_w")
+    wv, wg = ffi[:, :inner], ffi[:, inner:]
+    bvv = params["ffi_b"][:inner].reshape(1, inner).astype(dt)
+    bgg = params["ffi_b"][inner:].reshape(1, inner).astype(dt)
+
+    const = lambda i_, j_, k_: (0, 0)  # noqa: E731
+    row = lambda width: pl.BlockSpec((1, bs, width),  # noqa: E731
+                                     lambda i_, j_, k_: (i_, j_, 0))
+    per_img = lambda a, b_: pl.BlockSpec((1, a, b_),  # noqa: E731
+                                         lambda i_, j_, k_: (i_, 0, 0))
+    wspec = lambda arr: pl.BlockSpec(arr.shape, const)  # noqa: E731
+
+    small = [
+        w("o1_w"), vec("o1_b", c, dt),
+        vec("ln2_s", c), vec("ln2_b", c), w("q2_w"),
+        w("o2_w"), vec("o2_b", c, dt),
+        vec("ln3_s", c), vec("ln3_b", c),
+    ]
+    operands = [x, o1.astype(dt), kt, vp, cbias] + small + [
+        wv, bvv, wg, bgg, w("ffo_w"), vec("ffo_b", c)]
+    specs = ([row(c), row(hd1), per_img(hd, cbias.shape[1]),
+              per_img(cbias.shape[1], hd), wspec(cbias)]
+             + [wspec(a) for a in small]
+             + [pl.BlockSpec((c, bi), lambda i_, j_, k_: (0, k_)),
+                pl.BlockSpec((1, bi), lambda i_, j_, k_: (0, k_)),
+                pl.BlockSpec((c, bi), lambda i_, j_, k_: (0, k_)),
+                pl.BlockSpec((1, bi), lambda i_, j_, k_: (0, k_)),
+                pl.BlockSpec((bi, c), lambda i_, j_, k_: (k_, 0)),
+                wspec(vec("ffo_b", c))])
+
+    kernel = functools.partial(_tail_kernel_streamed, scale=float(scale),
+                               heads=heads, eps=eps)
+    return pl.pallas_call(
+        kernel,
+        grid=(n, s // bs, n_i),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((1, bs, c), lambda i_, j_, k_: (i_, j_, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, s, c), dt),
+        scratch_shapes=[pltpu.VMEM((bs, c), dt), pltpu.VMEM((bs, c), dt),
+                        pltpu.VMEM((bs, c), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(*operands)
+
+
 def fused_spatial_tail(x: jax.Array, o1: jax.Array, ctx_k: jax.Array,
                        ctx_v: jax.Array, params: dict, *, heads: int,
                        scale: float | None = None, eps: float = 1e-5,
@@ -173,8 +329,17 @@ def fused_spatial_tail(x: jax.Array, o1: jax.Array, ctx_k: jax.Array,
     env_bs = os.environ.get("DVDX_SPATIAL_TAIL_BS", "")
     if block_rows is None and env_bs:
         block_rows = int(env_bs)
-    bs = block_rows if block_rows is not None else choose_block_rows(
-        s, c, max(hd, hd1), t_pad, heads)
+    # impl select: resident (weights VMEM-resident, C <= 384) vs streamed
+    # (FF pair streamed through the grid, C <= 768 — the C=640 zeroscope
+    # level). Env DVDX_SPATIAL_TAIL_IMPL forces one for A/B runs.
+    impl = os.environ.get("DVDX_SPATIAL_TAIL_IMPL", "")
+    bs = block_rows if block_rows is not None else (
+        0 if impl == "streamed" else choose_block_rows(
+            s, c, max(hd, hd1), t_pad, heads))
+    streamed = False
+    if (bs == 0 or s % bs) and impl != "resident" and block_rows is None:
+        bs = choose_block_rows_streamed(s, c, max(hd, hd1), t_pad, heads)
+        streamed = True
     if bs == 0 or s % bs:
         raise ValueError(f"no fused-tail blocking for S={s}, C={c}, HD={hd}")
     dt = x.dtype
@@ -198,6 +363,12 @@ def fused_spatial_tail(x: jax.Array, o1: jax.Array, ctx_k: jax.Array,
     cbias = jnp.where(
         (jnp.arange(heads * t_pad)[None, :] % t_pad) < t, 0.0,
         _NEG_INF).astype(jnp.float32)                        # (1, h*Tp)
+
+    interpret = interpret or jax.default_backend() != "tpu"
+    if streamed:
+        return _streamed_call(x, o1, kt, vp, cbias, params, heads=heads,
+                              scale=scale, eps=eps, bs=bs, t_pad=t_pad,
+                              interpret=interpret)
 
     def w(name):
         return params[name].astype(dt)
@@ -227,7 +398,6 @@ def fused_spatial_tail(x: jax.Array, o1: jax.Array, ctx_k: jax.Array,
     kernel = functools.partial(
         _tail_kernel, scale=float(scale), heads=heads, inner=inner,
         eps=eps)
-    interpret = interpret or jax.default_backend() != "tpu"
     return pl.pallas_call(
         kernel,
         grid=(n, s // bs),

@@ -516,3 +516,62 @@ def test_fused_spatial_tail_composes_with_mh_native(monkeypatch):
     out = mod.apply(params, x, ctx)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=5e-4, rtol=5e-4)
+
+
+# --- streamed-weight fused tail (round 5): the C=640 lever, measured -------
+# The resident kernel refuses C > 384 (12*C^2 bf16 GEGLU pair). The streamed
+# variant runs the post-attn chain once per row tile into VMEM scratch and
+# streams the FF pair through the grid (the geglu_ff schedule) — VERDICT r4
+# item 4's "build it and measure" half.
+
+
+def test_streamed_tail_matches_unfused(monkeypatch):
+    import jax
+    from dvdx_tpu.models.layers import BasicTransformerBlock
+
+    rng = np.random.default_rng(4)
+    b, s, h, d, t, cx = 1, 64, 2, 32, 7, 48
+    dim = h * d
+    x = jnp.asarray(rng.normal(size=(b, s, dim)).astype(np.float32))
+    ctx = jnp.asarray(rng.normal(size=(b, t, cx)).astype(np.float32))
+    mod = BasicTransformerBlock(dim, h, d, cross_attention_dim=cx,
+                                dtype=jnp.float32)
+    monkeypatch.setenv("DVDX_SPATIAL_BLOCK_IMPL", "xla")
+    params = mod.init(jax.random.PRNGKey(0), x, ctx)
+    ref = mod.apply(params, x, ctx)
+    monkeypatch.setenv("DVDX_SPATIAL_BLOCK_IMPL", "pallas")
+    monkeypatch.setenv("DVDX_SPATIAL_TAIL_IMPL", "streamed")
+    params_f = mod.init(jax.random.PRNGKey(0), x, ctx)
+    assert sorted(_tree_paths(params)) == sorted(_tree_paths(params_f))
+    out = mod.apply(params, x, ctx)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_streamed_tail_c640_parity(monkeypatch):
+    """The actual target shape class: C=640, 10 heads of 64 — infeasible
+    resident, feasible streamed; parity vs the unfused block."""
+    import jax
+    from dvdx_tpu.models.layers import BasicTransformerBlock
+    from dvdx_tpu.ops.pallas.spatial_tail import (choose_block_rows,
+                                                  choose_block_rows_streamed)
+
+    # flagship C=640 level: S=720 (36x20 latent rows) at standard geometry
+    assert choose_block_rows(720, 640, 640, 128, heads=10) == 0
+    bs = choose_block_rows_streamed(720, 640, 640, 128, heads=10)
+    assert bs > 0 and 720 % bs == 0 and bs % 8 == 0
+
+    rng = np.random.default_rng(5)
+    b, s, h, d, t, cx = 1, 16, 10, 64, 77, 64  # tiny S: interpret-mode cost
+    dim = h * d
+    x = jnp.asarray(rng.normal(size=(b, s, dim)).astype(np.float32))
+    ctx = jnp.asarray(rng.normal(size=(b, t, cx)).astype(np.float32))
+    mod = BasicTransformerBlock(dim, h, d, cross_attention_dim=cx,
+                                dtype=jnp.float32)
+    monkeypatch.setenv("DVDX_SPATIAL_BLOCK_IMPL", "xla")
+    params = mod.init(jax.random.PRNGKey(0), x, ctx)
+    ref = mod.apply(params, x, ctx)
+    monkeypatch.setenv("DVDX_SPATIAL_BLOCK_IMPL", "pallas")
+    out = mod.apply(params, x, ctx)  # auto-routes: resident infeasible
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-4, rtol=5e-4)
