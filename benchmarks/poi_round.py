@@ -44,9 +44,12 @@ def main(argv=None):
 
     from dvdx_tpu.network.mock import build_mock_network
     from dvdx_tpu.network.validator import ValidatorConfig
-    from dvdx_tpu.pipelines.text2video import build_pipeline
+    from dvdx_tpu.pipelines.text2video import resolve_pipeline
 
-    pipe = build_pipeline(args.model, seed=0)
+    # registry name OR a (converted) diffusers checkpoint directory — the
+    # full-scale synthetic-checkpoint PoI round (VERDICT r4 item 5) passes
+    # benchmarks/convert_fullscale.py's --keep dir here
+    pipe = resolve_pipeline(args.model, seed=0)
     cfg = ValidatorConfig(sample_size=1, num_checkpoints=args.checkpoints,
                           num_frames=args.frames, width=args.width,
                           height=args.height, num_steps=args.steps,
