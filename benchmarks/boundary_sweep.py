@@ -22,6 +22,15 @@ UNet on the virtual CPU mesh. Model scale changes the absolute numbers, not
 the ordering; the full-scale numbers on real hardware come from
 `parallel.runner --csv` which logs the same columns per run.
 
+Parameter point: perturbed-zero params have O(0.02) temporal coupling — the
+"video" is near-independent per-frame noise, interior L1 is maximal, and
+seams are invisible (measured: boundary_excess ~ -2e-4 at gain 1). Trained
+video models are temporally coherent BECAUSE their temporal mixers dominate;
+`--temporal_gain` (utils.testing.amplify_temporal_params) moves the random
+point toward that regime — same program, strong frame coupling — so the
+boundary metrics measure what they measure on real checkpoints. A
+`chunk_hard` cell (overlap 0, no blend) bounds the worst case.
+
 Run: python benchmarks/boundary_sweep.py [--out CSV] [--plot PNG]
 Committed: benchmarks/data/boundary_coherence.csv + .png
 """
@@ -69,6 +78,11 @@ def main():
     ap.add_argument("--width", type=int, default=128)
     ap.add_argument("--height", type=int, default=96)
     ap.add_argument("--num_chunks", type=int, default=4)
+    ap.add_argument("--temporal_gain", type=float, default=25.0,
+                    help="scale on the zero-init temporal-mixer outputs; "
+                         "moves the random parameter point into the "
+                         "frame-coherent regime trained checkpoints occupy "
+                         "(see module docstring)")
     ap.add_argument("--seeds", default="0,1")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "data",
@@ -86,10 +100,12 @@ def main():
     from dvdx_tpu.pipelines.text2video import build_pipeline
     from dvdx_tpu.scoring.temporal import (boundary_pairs, flow_warp_error,
                                            temporal_instability)
-    from dvdx_tpu.utils.testing import perturb_zero_params
+    from dvdx_tpu.utils.testing import (amplify_temporal_params,
+                                        perturb_zero_params)
 
     pipe = build_pipeline("zeroscope-tiny", seed=0)
-    pipe.params = perturb_zero_params(pipe.params, seed=99)
+    pipe.params = amplify_temporal_params(
+        perturb_zero_params(pipe.params, seed=99), args.temporal_gain)
     ids = jnp.asarray(tokenize_batch(["", "a drone shot over a coastline"],
                                      pipe.spec.text.vocab_size,
                                      pipe.spec.text.max_length))
@@ -103,14 +119,17 @@ def main():
     ipairs = interior_pairs(args.frames, bpairs)
 
     cells = [
-        ("single", (1, 1, 1), {}),
-        ("chunk", (1, 1, 4), {"num_chunks": args.num_chunks}),
-        ("hybrid", (1, 2, 4), {"num_chunks": args.num_chunks}),
-        ("hybrid_ctx", (1, 2, 4), {"num_chunks": args.num_chunks}),
-        ("cp_exact", (1, 1, 4), {}),
+        ("single", "single", (1, 1, 1), {}),
+        ("chunk_hard", "chunk", (1, 1, 4),
+         {"num_chunks": args.num_chunks, "overlap": 0}),
+        ("chunk", "chunk", (1, 1, 4), {"num_chunks": args.num_chunks}),
+        ("hybrid", "hybrid", (1, 2, 4), {"num_chunks": args.num_chunks}),
+        ("hybrid_ctx", "hybrid_ctx", (1, 2, 4),
+         {"num_chunks": args.num_chunks}),
+        ("cp_exact", "cp_exact", (1, 1, 4), {}),
     ]
     rows = []
-    for mode, mesh_shape, over in cells:
+    for label, mode, mesh_shape, over in cells:
         strat = get_strategy(mode, **over)
         n = int(np.prod(mesh_shape))
         mesh = make_mesh(mesh_shape, devices=jax.devices()[:n])
@@ -125,7 +144,7 @@ def main():
             ti.append(temporal_instability(video, bpairs))
             fe.append(flow_warp_error(video, bpairs))
             ii.append(temporal_instability(video, ipairs))
-        row = {"mode": mode, "mesh": ",".join(map(str, mesh_shape)),
+        row = {"mode": label, "mesh": ",".join(map(str, mesh_shape)),
                "frames": args.frames, "steps": args.steps,
                "num_chunks": plan.num_chunks if strat.chunked else 0,
                "overlap": strat.overlap if strat.chunked else 0,

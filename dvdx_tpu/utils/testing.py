@@ -27,3 +27,31 @@ def perturb_zero_params(params, seed: int = 0, scale: float = 0.02):
         else:
             out.append(leaf)
     return jax.tree.unflatten(treedef, out)
+
+
+def amplify_temporal_params(params, gain: float):
+    """Scale the temporal-mixer output leaves (zero-init at birth:
+    ``temporal_attn/to_out_zero``, ``temp_conv/conv*_zero``) by ``gain``.
+
+    A perturbed-zero model couples frames only at O(perturb scale), so its
+    "video" is near-independent per-frame noise — chunk seams are invisible
+    against an interior frame-pair L1 that is itself maximal. Trained video
+    models are the opposite: temporal attention/convs dominate, frames are
+    coherent, and chunk boundaries are where that coherence breaks (the
+    reference's temp_instab measurement,
+    /root/reference/Distribution/strategies/chunk_only.py:183-208).
+    Amplifying exactly the temporal-mixer outputs moves the random parameter
+    point toward that trained regime — same program, same architecture, just
+    a parameter point where frame coupling is strong — so boundary metrics
+    have signal at toy scale."""
+    from jax.tree_util import keystr, tree_flatten_with_path
+
+    leaves, treedef = tree_flatten_with_path(params)
+    out = []
+    for path, leaf in leaves:
+        ks = keystr(path)
+        if ("temporal_attn" in ks or "temp_conv" in ks) and "zero" in ks:
+            out.append(jnp.asarray(np.asarray(leaf) * gain))
+        else:
+            out.append(leaf)
+    return jax.tree.unflatten(treedef, out)
