@@ -120,3 +120,25 @@ def test_signature_cli(capsys):
     # tampered message fails
     assert main(["verify", "--pubkey", pub, "--message", "hell0",
                  "--signature", sig]) == 1
+
+
+def test_amplify_temporal_params():
+    """Scales exactly the zero-init temporal-mixer outputs, nothing else
+    (the boundary-sweep parameter point, benchmarks/boundary_sweep.py)."""
+    from dvdx_tpu.utils.testing import amplify_temporal_params
+
+    params = {"down_0_0": {"temporal_attn": {"to_out_zero":
+                                             {"kernel": jnp.ones((2, 2))}},
+                           "temp_conv": {"conv0_zero":
+                                         {"kernel": jnp.full((1, 3), 0.5)},
+                                         "norm0": {"scale": jnp.ones((3,))}},
+                           "attn1": {"to_out": {"kernel": jnp.ones((2, 2))}}}}
+    out = amplify_temporal_params(params, 10.0)
+    got = out["down_0_0"]
+    np.testing.assert_allclose(
+        np.asarray(got["temporal_attn"]["to_out_zero"]["kernel"]), 10.0)
+    np.testing.assert_allclose(
+        np.asarray(got["temp_conv"]["conv0_zero"]["kernel"]), 5.0)
+    # non-zero-suffixed temporal leaves and spatial attention are untouched
+    np.testing.assert_allclose(np.asarray(got["temp_conv"]["norm0"]["scale"]), 1.0)
+    np.testing.assert_allclose(np.asarray(got["attn1"]["to_out"]["kernel"]), 1.0)
