@@ -44,13 +44,33 @@ def amplify_temporal_params(params, gain: float):
     point toward that trained regime — same program, same architecture, just
     a parameter point where frame coupling is strong — so boundary metrics
     have signal at toy scale."""
+    def match(ks):
+        return ("temporal_attn" in ks or "temp_conv" in ks) and "zero" in ks
+
+    return _amplify_matching(params, gain, match)
+
+
+def amplify_output_params(params, gain: float):
+    """Scale the UNet's zero-init output conv (``conv_out_zero``) by ``gain``.
+
+    Companion to :func:`amplify_temporal_params`: temporal gain makes the
+    eps prediction frame-COUPLED, but with conv_out at the perturbation
+    scale eps stays negligible against the base noise, so the decoded video
+    is per-frame noise regardless (measured: interior frame-pair L1 pinned
+    at its 0.25 maximum). Output gain makes eps MATTER; together they put
+    the random parameter point in the coherent-video regime where boundary
+    metrics have signal (benchmarks/boundary_sweep.py, calibration table in
+    its docstring)."""
+    return _amplify_matching(params, gain, lambda ks: "conv_out_zero" in ks)
+
+
+def _amplify_matching(params, gain: float, match):
     from jax.tree_util import keystr, tree_flatten_with_path
 
     leaves, treedef = tree_flatten_with_path(params)
     out = []
     for path, leaf in leaves:
-        ks = keystr(path)
-        if ("temporal_attn" in ks or "temp_conv" in ks) and "zero" in ks:
+        if match(keystr(path)):
             out.append(jnp.asarray(np.asarray(leaf) * gain))
         else:
             out.append(leaf)

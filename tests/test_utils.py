@@ -142,3 +142,15 @@ def test_amplify_temporal_params():
     # non-zero-suffixed temporal leaves and spatial attention are untouched
     np.testing.assert_allclose(np.asarray(got["temp_conv"]["norm0"]["scale"]), 1.0)
     np.testing.assert_allclose(np.asarray(got["attn1"]["to_out"]["kernel"]), 1.0)
+
+
+def test_amplify_output_params():
+    from dvdx_tpu.utils.testing import amplify_output_params
+
+    params = {"unet": {"conv_out_zero": {"kernel": jnp.ones((3, 3))},
+                       "conv_in": {"kernel": jnp.ones((3, 3))}}}
+    out = amplify_output_params(params, 4.0)
+    np.testing.assert_allclose(
+        np.asarray(out["unet"]["conv_out_zero"]["kernel"]), 4.0)
+    np.testing.assert_allclose(
+        np.asarray(out["unet"]["conv_in"]["kernel"]), 1.0)
