@@ -82,10 +82,14 @@ def synthesize_checkpoint(root: str) -> float:
     })
     del unet
 
+    # The VAE decoder keeps torch's default init: GroupNorm between convs
+    # bounds activations (bf16-finite), and decoding the denoised latents
+    # then yields TEXTURED, frame-varying output — the 0.02-scaled variant
+    # produced a near-constant gray video that the validator's authenticity
+    # check (scoring/mdvqs.py:109) correctly rejected as degenerate, which
+    # would block the full PoI round this checkpoint exists to drive.
     with torch.no_grad():
         vae = AutoencoderKLRef(**FULL_VAE)
-        for p in vae.parameters():
-            p.mul_(0.02)
     put("vae", sd_numpy(vae), {
         "latent_channels": 4, "block_out_channels": [128, 256, 512, 512],
         "layers_per_block": 2, "norm_num_groups": 32,
