@@ -83,6 +83,10 @@ def main(argv=None):
         "mdvqs_phase_s": d.get("mdvqs", {}).get("timings_s", {}),
         "miner_phase_s": d.get("miner_timings_s", {}),
     }))
+    if not all(d["checks"].values()):   # full diagnostics on any failure
+        print("FAIL DETAIL:", json.dumps(
+            {k: v for k, v in d.items()
+             if isinstance(v, (str, int, float, bool, type(None)))}))
 
 
 if __name__ == "__main__":

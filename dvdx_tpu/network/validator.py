@@ -82,6 +82,15 @@ class ValidatorConfig:
                                     # (economics alpha*=0.30 is the *secure
                                     # minimum*; default audits everything)
     atol: float = 5e-2              # cross-platform tolerance
+    # same-platform single-device regime: exact bytes preferred (and still
+    # measured on every registry pipeline — reexec_bitwise reports it), but
+    # the pass gate is this calibrated epsilon. The recording (segment scan)
+    # and re-exec (multi-step) executables are separate compilations of one
+    # jaxpr; a converted 1.4B checkpoint on TPU measured an honest 1-ULP
+    # divergence (7.63e-6 max) between them. 1e-4 = ~13x that ceiling and
+    # 3 orders below the cheapest approximate-adversary rung (6.6e-2,
+    # docs/PROTOCOL.md) — a miner inside it has computed the model.
+    atol_same_program: float = 1e-4
     # same-backend strategy-regime tolerances (strategy name -> atol);
     # falls back to `atol` for unknown regimes. See DEFAULT_REGIME_ATOL.
     atol_by_strategy: Dict[str, float] = dataclasses.field(
@@ -196,18 +205,19 @@ class Validator(Neuron):
         return self._chunk_engines[key]
 
     def _regime(self, pinned: str) -> Tuple[bool, float, str]:
-        """Registry pin -> (same_platform, atol, strategy_name). Bitwise for
-        an unpinned miner or a bare matching backend; calibrated per-strategy
-        atol for same-backend strategy regimes; the blanket cross-platform
-        atol otherwise."""
+        """Registry pin -> (same_platform, atol, strategy_name).
+        Exact-preferred with the calibrated same-program epsilon for an
+        unpinned miner or a bare matching backend (atol_same_program);
+        calibrated per-strategy atol for same-backend strategy regimes; the
+        blanket cross-platform atol otherwise."""
         backend = __import__("jax").default_backend()
         if not pinned:
-            return True, self.config.atol, ""
+            return True, self.config.atol_same_program, ""
         pin_backend, _, strat = pinned.partition(":")
         if pin_backend != backend:
             return False, self.config.atol, strat
         if not strat:
-            return True, self.config.atol, ""
+            return True, self.config.atol_same_program, ""
         return False, self.config.atol_by_strategy.get(
             strat, self.config.atol), strat
 

@@ -689,16 +689,27 @@ class CheckResult:
 
 def compare_arrays(got: np.ndarray, expected: np.ndarray, *,
                    bitwise: bool, atol: float) -> Tuple[bool, float, bool]:
-    """-> (ok, max_abs_err, was_bitwise)."""
+    """-> (ok, max_abs_err, was_bitwise).
+
+    bitwise=True is the same-platform regime: exact bytes pass with
+    was_bitwise=True; otherwise the error is judged against the CALIBRATED
+    same-program atol, not hard-failed. Rationale (measured, round 5): the
+    miner's segment-scan recording program and the validator's multi-step
+    re-exec program share one jaxpr but are separately compiled
+    executables; XLA's fusion choices around the step body are
+    value-independent but not guaranteed byte-identical between the two,
+    and a converted 1.4B checkpoint on TPU surfaced an honest ≤1-bf16-ULP
+    divergence (max 7.63e-6) where every registry pipeline still measures
+    exactly bitwise. A hard byte gate at that point rejects honest miners
+    on compiled-program identity, not on work done; the tight epsilon
+    (ValidatorConfig.atol_same_program, ~13x the measured max, 3 orders
+    below the cheapest approximate-adversary rung) keeps the security
+    claim while making the regime robust to recompilation."""
     if got.shape != expected.shape:
         return False, float("inf"), False
     exact = got.tobytes() == expected.tobytes()
     if exact:
         return True, 0.0, True
-    if bitwise:
-        a = np.asarray(got, np.float32)
-        b = np.asarray(expected, np.float32)
-        return False, float(np.max(np.abs(a - b))), False
     a = np.asarray(got, np.float32)
     b = np.asarray(expected, np.float32)
     err = float(np.max(np.abs(a - b)))
