@@ -91,6 +91,12 @@ class ValidatorConfig:
     # 3 orders below the cheapest approximate-adversary rung (6.6e-2,
     # docs/PROTOCOL.md) — a miner inside it has computed the model.
     atol_same_program: float = 1e-4
+    # ...and its relative term: last-bit rounding is a RELATIVE phenomenon
+    # (the same 1-ULP flip is 7.6e-6 at eps magnitudes but 3.9e-3 at |z|~1,
+    # measured on the converted-checkpoint XL round), so the same-platform
+    # gate is elementwise |a-b| <= atol + rtol*|b| with rtol = 2 bf16 ULPs.
+    # The cheapest approximate-adversary rung sits at 2^-4 relative — 8x up.
+    rtol_same_program: float = 2.0 ** -7
     # same-backend strategy-regime tolerances (strategy name -> atol);
     # falls back to `atol` for unknown regimes. See DEFAULT_REGIME_ATOL.
     atol_by_strategy: Dict[str, float] = dataclasses.field(
@@ -731,8 +737,9 @@ class Validator(Neuron):
         if 0 in leaves:
             base = engine.base_latent(req.seed, req.num_frames,
                                       req.height, req.width)
-            ok, err, bit = compare_arrays(leaves[0][1], base,
-                                          bitwise=same_platform, atol=atol)
+            ok, err, bit = compare_arrays(
+                leaves[0][1], base, bitwise=same_platform, atol=atol,
+                rtol=self.config.rtol_same_program if same_platform else 0.0)
             if not ok:
                 return fail("base_noise", err=err)
             d["checks"]["base_noise"] = True
@@ -743,6 +750,7 @@ class Validator(Neuron):
             engine, req.prompt, req.negative_prompt, leaves, checks,
             req.num_steps, req.guidance_scale,
             same_platform=same_platform, atol=atol,
+            rtol=self.config.rtol_same_program if same_platform else 0.0,
             cfg_split=req.cfg_split, ctx=ctx)
         t0 = self._mark(d, "reexecution", t0)
         self.metrics["reexec_steps"] += len(checks)
