@@ -167,3 +167,40 @@ def test_leaf_preimage_never_collides_with_interior_node():
     assert len(leaf_bytes(900, z, z)) != 64
     with pytest.raises(ValueError):
         np.frombuffer(b"\x00" * 64, np.float16).reshape((1, 4, 5, 4))
+
+
+def test_same_program_gate_is_two_ulps_elementwise():
+    """The same-platform re-exec gate (round 5, docs/PROTOCOL.md): honest
+    1-bf16-ULP divergence between the recording and re-exec executables
+    passes at ANY operand magnitude (it is a relative phenomenon), while a
+    reduced-precision shortcut (>= 2^-4 relative, the cheapest ApproxMiner
+    rung) fails. Byte-exact still reports was_bitwise=True."""
+    from dvdx_tpu.verify.spotcheck import compare_arrays
+
+    atol, rtol = 1e-4, 2.0 ** -7   # ValidatorConfig defaults
+    base = np.asarray([2e-3, 1.0, -3.7, 0.0], np.float32)
+
+    ok, err, bit = compare_arrays(base.copy(), base, bitwise=True,
+                                  atol=atol, rtol=rtol)
+    assert ok and bit and err == 0.0
+
+    # one bf16 ULP at each magnitude: 2^-8 relative
+    ulp = base * (1 + 2.0 ** -8)
+    ok, err, bit = compare_arrays(ulp, base, bitwise=True,
+                                  atol=atol, rtol=rtol)
+    assert ok and not bit
+    # ...including the measured z-scale case: 3.9e-3 absolute at |z|~1,
+    # far above the 1e-4 absolute floor alone
+    assert float(np.max(np.abs(ulp - base))) > atol
+
+    # a 4-mantissa-bit (fp8-class) shortcut: 2^-4 relative, must fail
+    approx = base * (1 + 2.0 ** -4)
+    ok, _, _ = compare_arrays(approx, base, bitwise=True,
+                              atol=atol, rtol=rtol)
+    assert not ok
+
+    # tolerance-mode regimes (rtol=0) stay purely absolute
+    ok, _, _ = compare_arrays(ulp, base, bitwise=False, atol=5e-2)
+    assert ok
+    ok, _, _ = compare_arrays(base + 0.1, base, bitwise=False, atol=5e-2)
+    assert not ok
