@@ -470,6 +470,12 @@ class Validator(Neuron):
                               resp: P.InferenceResponse) -> dict:
         cfg = self.config
         d: dict = {"score": 0.0, "checks": {}, "timings_s": {}}
+        if resp.status == "ok":
+            # advisory miner-side metrics, recorded up front so FAILED
+            # rounds still report generation timing (round-5 full-scale
+            # debugging was blind to gen_time_s on the fail path)
+            d["gen_time_s"] = resp.gen_time_s
+            d["video_bytes"] = len(resp.video) if resp.video else 0
 
         def fail(name, cheat=False, **extra):
             d["checks"][name] = False
